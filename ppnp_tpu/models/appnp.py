@@ -1,0 +1,87 @@
+"""The PPNP/APPNP model: a small MLP producing local predictions, then a
+plug-in propagation operator (power iteration or exact PPR), then
+log-softmax.
+
+Reference analog: ``ppnp/pytorch/model.py::PPNP`` (~L10 __init__, ~L35
+forward — SURVEY.md §3.2):
+
+- fcs = [Linear(nfeat→h₁, no bias), …, Linear(h_last→nclasses, no bias)]
+- forward: dropout(X) → fc₁ → ReLU → dropout → fc₂ → … → H_local
+  → propagation(H_local, idx) → log_softmax
+- the L2-regularized set is the FIRST layer's weights only.
+
+TPU-native design: parameters are a plain pytree (a list of weight
+matrices — two dense layers don't justify a module framework, SURVEY.md
+§7), the forward is a pure function, and the attribute matrix arrives
+densified (dense X on the MXU beats sparse ops for these shapes; dropout
+on a densified sparse matrix is mathematically identical to the
+reference's MixedDropout, see ``ppnp_tpu.ops.dropout``).
+
+Key structural fact preserved (SURVEY.md §3.2): the MLP always runs over
+ALL n nodes; ``idx`` only selects output rows after propagation.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ppnp_tpu.ops.dropout import dropout
+
+__all__ = ["init_mlp_params", "mlp_forward", "ppnp_forward", "l2_reg"]
+
+MlpParams = List[jnp.ndarray]  # list of weight matrices, no biases
+
+
+def init_mlp_params(key: jax.Array, n_features: int,
+                    hidden_units: Sequence[int], n_classes: int,
+                    dtype=jnp.float32) -> MlpParams:
+    """Glorot-uniform weights for [n_features, *hidden_units, n_classes]."""
+    dims = [n_features, *hidden_units, n_classes]
+    init = jax.nn.initializers.glorot_uniform()
+    keys = jax.random.split(key, len(dims) - 1)
+    return [init(k, (d_in, d_out), dtype)
+            for k, d_in, d_out in zip(keys, dims[:-1], dims[1:])]
+
+
+def mlp_forward(params: MlpParams, x: jnp.ndarray, *,
+                key: Optional[jax.Array] = None, train: bool = False,
+                drop_prob: float = 0.5) -> jnp.ndarray:
+    """Local (pre-propagation) logits H_local for all n nodes.
+
+    Dropout precedes every layer (the reference's layer stack); ReLU after
+    every layer except the last.
+    """
+    use_drop = bool(train and drop_prob > 0.0 and key is not None)
+    if use_drop:
+        keys = jax.random.split(key, len(params))
+    h = x
+    for i, w in enumerate(params):
+        if use_drop:
+            h = dropout(keys[i], h, drop_prob)
+        h = h @ w
+        if i < len(params) - 1:
+            h = jax.nn.relu(h)
+    return h
+
+
+def ppnp_forward(params: MlpParams, x: jnp.ndarray, propagator,
+                 idx: Optional[jnp.ndarray] = None, *,
+                 key: Optional[jax.Array] = None, train: bool = False,
+                 drop_prob: float = 0.5) -> jnp.ndarray:
+    """Full PPNP forward: MLP → propagate → select idx → log_softmax."""
+    if key is not None:
+        key_mlp, key_prop = jax.random.split(key)
+    else:
+        key_mlp = key_prop = None
+    h_local = mlp_forward(params, x, key=key_mlp, train=train,
+                          drop_prob=drop_prob)
+    z = propagator(h_local, idx, key=key_prop, train=train)
+    return jax.nn.log_softmax(z, axis=-1)
+
+
+def l2_reg(params: MlpParams) -> jnp.ndarray:
+    """Σ‖W_fc1‖² — the reference regularizes the first layer only."""
+    return jnp.sum(params[0] ** 2)

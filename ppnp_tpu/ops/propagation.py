@@ -1,0 +1,118 @@
+"""Power-iteration PPR propagation (APPNP) — the framework's core operator.
+
+Reference analog: ``ppnp/pytorch/propagation.py::PPRPowerIteration`` (~L45,
+SURVEY.md §3.3): ``H ← (1-α)·Â_drop·H + α·H⁰`` repeated K times, with a
+fresh edge-dropout mask on Â's values at every iteration during training.
+
+TPU-native design decisions (vs the reference's torch.sparse loop):
+
+- Â lives on device as a static-shape, dst-sorted :class:`EdgeList`
+  (and optionally row-blocked ELL for the Pallas kernel).
+- SpMM = row gather + ``segment_sum`` — both compile to efficient TPU
+  code under XLA and are trivially differentiable; the Pallas kernel
+  (``ppnp_tpu.kernels.spmm``) is a drop-in faster backend.
+- The K-step loop is a ``lax.scan`` with PRNG keys threaded as scan xs,
+  so the whole propagation is one fused XLA computation with no Python
+  in the hot path.
+- ``idx`` selection happens after propagation (the reference's semantics:
+  the MLP and propagation always run over all n nodes — SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ppnp_tpu.ops.dropout import dropout, edge_dropout
+from ppnp_tpu.ops.sparse import EdgeList, EllBlocks
+
+__all__ = ["spmm_edge_list", "spmm", "PPRPowerIteration"]
+
+
+def spmm_edge_list(edges: EdgeList, h: jnp.ndarray,
+                   w: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Â @ H via gather + segment-sum over the padded edge list.
+
+    ``w`` overrides the stored edge values (used for per-iteration edge
+    dropout). Padding edges have w == 0 so they contribute nothing.
+    """
+    if w is None:
+        w = edges.w
+    gathered = jnp.take(h, edges.src, axis=0) * w[:, None]
+    return jax.ops.segment_sum(
+        gathered, edges.dst, num_segments=edges.n_rows,
+        indices_are_sorted=True)
+
+
+def spmm(edges: EdgeList, h: jnp.ndarray,
+         w: Optional[jnp.ndarray] = None,
+         ell: Optional[EllBlocks] = None,
+         backend: str = "xla") -> jnp.ndarray:
+    """Backend-dispatching SpMM: 'xla' (gather+segsum) or 'pallas' (ELL)."""
+    if backend == "pallas":
+        if ell is None:
+            raise ValueError("pallas backend requires EllBlocks")
+        from ppnp_tpu.kernels.spmm import spmm_ell_pallas
+        if w is not None:
+            raise ValueError(
+                "pallas backend takes dropout via pre-masked ell.vals")
+        return spmm_ell_pallas(ell, h)
+    return spmm_edge_list(edges, h, w)
+
+
+@struct.dataclass
+class PPRPowerIteration:
+    """APPNP propagation operator: K steps of H ← (1-α)ÂH + αH⁰.
+
+    A registered pytree so it can be passed straight into jitted train
+    steps; α/K/dropout/backend are static aux data.
+    """
+
+    edges: EdgeList
+    ell: Optional[EllBlocks] = None
+    alpha: float = struct.field(pytree_node=False, default=0.1)
+    niter: int = struct.field(pytree_node=False, default=10)
+    drop_prob: float = struct.field(pytree_node=False, default=0.5)
+    backend: str = struct.field(pytree_node=False, default="xla")
+
+    @property
+    def n_rows(self) -> int:
+        return self.edges.n_rows
+
+    def propagate(self, h0: jnp.ndarray, *, key: Optional[jax.Array] = None,
+                  train: bool = False) -> jnp.ndarray:
+        """Run K power-iteration steps over all n rows of ``h0``."""
+        apply_drop = bool(train and self.drop_prob > 0.0 and key is not None)
+        one_minus_alpha = 1.0 - self.alpha
+        alpha_h0 = self.alpha * h0
+
+        if apply_drop:
+            keys = jax.random.split(key, self.niter)
+
+            def step(h, k):
+                w = edge_dropout(k, self.edges.w, self.drop_prob)
+                h = one_minus_alpha * spmm_edge_list(self.edges, h, w) \
+                    + alpha_h0
+                return h, None
+
+            h, _ = jax.lax.scan(step, h0, keys)
+        else:
+            def step(h, _):
+                ah = spmm(self.edges, h, ell=self.ell, backend=self.backend)
+                h = one_minus_alpha * ah + alpha_h0
+                return h, None
+
+            h, _ = jax.lax.scan(step, h0, None, length=self.niter)
+        return h
+
+    def __call__(self, h_local: jnp.ndarray, idx: Optional[jnp.ndarray] = None,
+                 *, key: Optional[jax.Array] = None,
+                 train: bool = False) -> jnp.ndarray:
+        """Propagate local predictions; select ``idx`` rows afterwards."""
+        h = self.propagate(h_local, key=key, train=train)
+        if idx is not None:
+            h = jnp.take(h, idx, axis=0)
+        return h

@@ -1,0 +1,149 @@
+"""Host-side row partition of Â with a static boundary-exchange plan.
+
+No reference analog (SURVEY.md §2.2). Design per BASELINE.json:5: the
+adjacency and the node-embedding matrix are 1-D row-sharded over the mesh;
+each power-iteration step every shard needs the H rows of its edges'
+source nodes, most of which are local — the remainder (boundary rows) are
+exchanged via a single ``all_to_all`` whose send lists are precomputed
+here at ingest time and padded to a static max size so jit caching works
+(SURVEY.md §7 "hard parts": boundary-exchange plan).
+
+Layout contract (consumed by ``ppnp_tpu.parallel.sharded``):
+
+- nodes padded to ``n_pad = shard_rows * n_shards``; shard d owns rows
+  ``[d·S, (d+1)·S)`` with ``S = shard_rows``.
+- per-shard edge arrays, dst-local and dst-sorted, padded to ``edges_pad``.
+- ``send_idx[d, e, :]`` = local row indices shard d sends to shard e
+  (padded with 0 — padding slots are simply never referenced).
+- each shard's local gather table is ``concat([H_local (S rows),
+  recv (n_shards·B rows)])``; ``src`` is pre-remapped into this table:
+  a local source g → ``g - d·S``; a remote source owned by shard o at
+  position p of o's send list to me → ``S + o·B + p``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from flax import struct
+
+from ppnp_tpu.utils.padding import round_up_to_multiple
+
+__all__ = ["ShardedGraph", "build_sharded_graph"]
+
+
+@struct.dataclass
+class ShardedGraph:
+    """Row-sharded Â: per-shard padded edges + boundary-exchange plan.
+
+    All arrays are stacked over shards along axis 0; inside ``shard_map``
+    each device sees its own slice.
+    """
+
+    dst: jnp.ndarray        # int32 [n_shards, E] local dst row, sorted
+    src: jnp.ndarray        # int32 [n_shards, E] remapped into gather table
+    src_global: jnp.ndarray  # int32 [n_shards, E] global src (allgather mode)
+    w: jnp.ndarray          # float32 [n_shards, E] (0 for padding)
+    send_idx: jnp.ndarray   # int32 [n_shards, n_shards, B] local rows to send
+    n_rows: int = struct.field(pytree_node=False)      # original n
+    n_pad: int = struct.field(pytree_node=False)
+    shard_rows: int = struct.field(pytree_node=False)  # S
+    n_shards: int = struct.field(pytree_node=False)
+    boundary: int = struct.field(pytree_node=False)    # B
+    nnz: int = struct.field(pytree_node=False)
+
+    @property
+    def edges_pad(self) -> int:
+        return self.dst.shape[1]
+
+
+def build_sharded_graph(
+    a_hat: sp.spmatrix,
+    n_shards: int,
+    row_multiple: int = 8,
+    edge_pad_multiple: int = 512,
+    boundary_pad_multiple: int = 8,
+) -> ShardedGraph:
+    """Partition Â by destination row into ``n_shards`` shards."""
+    csr = a_hat.tocsr()
+    csr.sum_duplicates()
+    n = csr.shape[0]
+    shard_rows = round_up_to_multiple(
+        -(-n // n_shards), row_multiple)  # ceil then align
+    n_pad = shard_rows * n_shards
+
+    coo = csr.tocoo()
+    dst_g = coo.row.astype(np.int64)
+    src_g = coo.col.astype(np.int64)
+    w_g = coo.data.astype(np.float32)
+    owner_dst = dst_g // shard_rows
+    owner_src = src_g // shard_rows
+
+    # --- boundary plan: send_lists[o][d] = sorted unique global rows
+    # owned by o that shard d needs from o.
+    send_lists: Dict[Tuple[int, int], np.ndarray] = {}
+    max_boundary = 1
+    for d in range(n_shards):
+        mask_d = owner_dst == d
+        for o in range(n_shards):
+            if o == d:
+                continue
+            needed = np.unique(src_g[mask_d & (owner_src == o)])
+            send_lists[(o, d)] = needed
+            max_boundary = max(max_boundary, len(needed))
+    boundary = round_up_to_multiple(max_boundary, boundary_pad_multiple)
+
+    # --- per-shard padded edge arrays with remapped sources.
+    max_edges = 1
+    for d in range(n_shards):
+        max_edges = max(max_edges, int((owner_dst == d).sum()))
+    edges_pad = round_up_to_multiple(max_edges, edge_pad_multiple)
+
+    dst = np.full((n_shards, edges_pad), shard_rows - 1, dtype=np.int32)
+    src = np.zeros((n_shards, edges_pad), dtype=np.int32)
+    srcg = np.zeros((n_shards, edges_pad), dtype=np.int32)
+    w = np.zeros((n_shards, edges_pad), dtype=np.float32)
+    send_idx = np.zeros((n_shards, n_shards, boundary), dtype=np.int32)
+
+    for d in range(n_shards):
+        mask_d = owner_dst == d
+        e_dst = dst_g[mask_d] - d * shard_rows
+        e_src = src_g[mask_d]
+        e_w = w_g[mask_d]
+        # Remap sources into the local gather table.
+        remap = np.empty(len(e_src), dtype=np.int64)
+        local = owner_src[mask_d] == d
+        remap[local] = e_src[local] - d * shard_rows
+        for o in range(n_shards):
+            if o == d:
+                continue
+            sel = owner_src[mask_d] == o
+            if not sel.any():
+                continue
+            lst = send_lists[(o, d)]
+            pos = np.searchsorted(lst, e_src[sel])
+            remap[sel] = shard_rows + o * boundary + pos
+        # dst-sorted (stable to keep CSR source order within a row).
+        order = np.argsort(e_dst, kind="stable")
+        ne = len(e_dst)
+        dst[d, :ne] = e_dst[order]
+        src[d, :ne] = remap[order]
+        srcg[d, :ne] = e_src[order]
+        w[d, :ne] = e_w[order]
+        # Keep padding dst at the end sorted: pad value is shard_rows-1,
+        # which is >= every real local dst, so sortedness holds.
+        for e in range(n_shards):
+            if e == d:
+                continue
+            lst = send_lists[(d, e)]
+            send_idx[d, e, :len(lst)] = lst - d * shard_rows
+
+    return ShardedGraph(
+        dst=jnp.asarray(dst), src=jnp.asarray(src),
+        src_global=jnp.asarray(srcg), w=jnp.asarray(w),
+        send_idx=jnp.asarray(send_idx),
+        n_rows=n, n_pad=n_pad, shard_rows=shard_rows,
+        n_shards=n_shards, boundary=boundary, nnz=int(csr.nnz))

@@ -1,0 +1,117 @@
+"""Row-sharded APPNP power iteration under ``shard_map``.
+
+No reference analog (SURVEY.md §2.2). Per BASELINE.json:5: each
+power-iteration step is (1) boundary-row exchange — ``all_to_all`` of the
+precomputed send lists (or a plain ``all_gather`` fallback) — then (2) a
+local SpMM over the shard's edges, then (3) the α-mix with the local slice
+of H⁰. The node axis is simultaneously the data-parallel and the
+model/row-sharding axis (the graph analog of sequence parallelism —
+SURVEY.md §5 "long-context" row).
+
+The operator implements the same callable protocol as
+``PPRPowerIteration`` / ``PPRExact`` so it drops into the same training
+loop; the single-device mesh case degenerates to the unsharded math and is
+tested against the unsharded oracle (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ppnp_tpu.ops.dropout import edge_dropout
+from ppnp_tpu.parallel.mesh import NODE_AXIS
+from ppnp_tpu.parallel.partition import ShardedGraph
+
+__all__ = ["ShardedPowerIteration"]
+
+
+@struct.dataclass
+class ShardedPowerIteration:
+    """K sharded steps of H ← (1-α)ÂH + αH⁰ with boundary exchange."""
+
+    graph: ShardedGraph
+    mesh: Mesh = struct.field(pytree_node=False)
+    alpha: float = struct.field(pytree_node=False, default=0.1)
+    niter: int = struct.field(pytree_node=False, default=10)
+    drop_prob: float = struct.field(pytree_node=False, default=0.5)
+    exchange: str = struct.field(pytree_node=False, default="alltoall")
+    axis: str = struct.field(pytree_node=False, default=NODE_AXIS)
+
+    @property
+    def n_rows(self) -> int:
+        """Padded row count the caller must supply H⁰ with."""
+        return self.graph.n_pad
+
+    def propagate(self, h0: jnp.ndarray, *, key: Optional[jax.Array] = None,
+                  train: bool = False) -> jnp.ndarray:
+        g = self.graph
+        c = h0.shape[-1]
+        apply_drop = bool(train and self.drop_prob > 0.0 and key is not None)
+        alpha = self.alpha
+
+        def shard_fn(h0_loc, dst, src, srcg, w, send_idx, keys):
+            # Per-device slices keep a leading length-1 shard axis.
+            dst, src, srcg, w = dst[0], src[0], srcg[0], w[0]
+            send_idx = send_idx[0]
+            me = jax.lax.axis_index(self.axis)
+            alpha_h0 = alpha * h0_loc
+
+            def step(h_loc, k):
+                if apply_drop:
+                    # Decorrelate shards: each owns a disjoint edge set.
+                    w_it = edge_dropout(jax.random.fold_in(k, me), w,
+                                        self.drop_prob)
+                else:
+                    w_it = w
+                if self.exchange == "allgather":
+                    table = jax.lax.all_gather(h_loc, self.axis, axis=0,
+                                               tiled=True)
+                    gathered = jnp.take(table, srcg, axis=0)
+                else:
+                    # Boundary exchange: send the precomputed row lists,
+                    # receive every other shard's contribution, and gather
+                    # from [local rows | received rows] via remapped src.
+                    send = jnp.take(h_loc, send_idx, axis=0)  # (nd, B, c)
+                    recv = jax.lax.all_to_all(
+                        send, self.axis, split_axis=0, concat_axis=0,
+                        tiled=False)
+                    table = jnp.concatenate(
+                        [h_loc, recv.reshape(-1, c)], axis=0)
+                    gathered = jnp.take(table, src, axis=0)
+                out = jax.ops.segment_sum(
+                    gathered * w_it[:, None], dst,
+                    num_segments=g.shard_rows, indices_are_sorted=True)
+                return (1.0 - alpha) * out + alpha_h0, None
+
+            h_loc, _ = jax.lax.scan(step, h0_loc, keys)
+            return h_loc
+
+        if apply_drop:
+            keys = jax.random.split(key, self.niter)
+        else:
+            keys = jnp.zeros((self.niter, 2), dtype=jnp.uint32)
+
+        a = self.axis
+        f = jax.shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(a, None), P(a), P(a), P(a), P(a), P(a), P()),
+            out_specs=P(a, None), check_vma=False)
+        return f(h0, g.dst, g.src, g.src_global, g.w, g.send_idx, keys)
+
+    def __call__(self, h_local: jnp.ndarray,
+                 idx: Optional[jnp.ndarray] = None, *,
+                 key: Optional[jax.Array] = None,
+                 train: bool = False) -> jnp.ndarray:
+        h = self.propagate(h_local, key=key, train=train)
+        if idx is not None:
+            h = jnp.take(h, idx, axis=0)
+        return h
+
+    def input_sharding(self) -> NamedSharding:
+        """The sharding H⁰ (and X) should carry: rows over the mesh."""
+        return NamedSharding(self.mesh, P(self.axis, None))

@@ -1,0 +1,207 @@
+"""Training loop: full-batch Adam with dual-criterion early stopping.
+
+Reference analog: ``ppnp/pytorch/training.py::train_model`` (~L30 —
+SURVEY.md §3.1). Semantics preserved: stratified splits, L1-normalized
+attributes, one optimizer step per epoch on the train indices (full-batch),
+per-epoch stopping-set evaluation, patience-100 early stopping on acc+loss
+with best-state restore, final accuracy + macro-F1 on the valtest set,
+L2 (reg_lambda/2·Σ‖W_fc1‖²) on the first layer only, Adam lr=0.01.
+
+TPU-native differences:
+
+- the train step and the evaluation are single jitted functions (donated
+  params/opt-state buffers; no Python inside the step);
+- the propagation operator is a pytree captured in the jitted closures —
+  power-iteration (APPNP), exact Π (PPNP), or the sharded operator from
+  ``ppnp_tpu.parallel`` all fit the same callable protocol;
+- PRNG is explicit: one fold-in per epoch from a root ``jax.random`` key;
+- the best parameter snapshot is just a reference to an immutable pytree.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import scipy.sparse as sp
+
+from ppnp_tpu import preprocessing
+from ppnp_tpu.data.sparsegraph import SparseGraph
+from ppnp_tpu.earlystopping import EarlyStopping, stopping_args as \
+    default_stopping_args
+from ppnp_tpu.metrics import JsonlWriter, accuracy, macro_f1
+from ppnp_tpu.models.appnp import (init_mlp_params, l2_reg, ppnp_forward)
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["train_model", "get_predictions", "default_idx_split_args"]
+
+default_idx_split_args: Dict[str, int] = {
+    "ntrain_per_class": 20,
+    "nstopping": 500,
+    "nknown": 1500,
+    "seed": 2413340114,
+}
+
+
+def _densify_attributes(attr) -> np.ndarray:
+    if sp.issparse(attr):
+        return np.asarray(attr.todense(), dtype=np.float32)
+    return np.asarray(attr, dtype=np.float32)
+
+
+def _nll(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    rows = jnp.take_along_axis(log_probs, labels[:, None], axis=1)
+    return -jnp.mean(rows)
+
+
+def get_predictions(params, x: jnp.ndarray, propagator) -> np.ndarray:
+    """Argmax class predictions for all nodes (eval mode).
+
+    Reference analog: training.py's batched ``get_predictions`` helper —
+    no batching needed here, the whole graph is one device computation.
+    """
+    logp = ppnp_forward(params, x, propagator, None, train=False)
+    return np.asarray(jnp.argmax(logp, axis=-1))
+
+
+def train_model(
+    graph: SparseGraph,
+    propagator,
+    *,
+    hidden_units: Sequence[int] = (64,),
+    drop_prob: float = 0.5,
+    learning_rate: float = 0.01,
+    reg_lambda: float = 5e-3,
+    idx_split_args: Optional[Dict[str, int]] = None,
+    stopping_args: Optional[Dict[str, Any]] = None,
+    test: bool = False,
+    seed: int = 0,
+    print_interval: int = 20,
+    metrics: Optional[JsonlWriter] = None,
+    dtype=jnp.float32,
+) -> Tuple[Any, Dict[str, Any]]:
+    """Train PPNP/APPNP on a graph; returns (params, result_dict).
+
+    ``propagator`` is a prebuilt propagation operator (PPRPowerIteration /
+    PPRExact / ShardedPowerIteration) — prebuilt by the caller exactly as
+    the reference passes a constructed propagation module in model_args
+    (SURVEY.md §3.1).
+    """
+    t_start = time.time()
+    idx_split_args = dict(idx_split_args or default_idx_split_args)
+    stop_args = dict(default_stopping_args)
+    stop_args.update(stopping_args or {})
+    max_epochs = int(stop_args.pop("max_epochs"))
+
+    labels_np = np.asarray(graph.labels)
+    idx_train_np, idx_stop_np, idx_valtest_np = preprocessing.gen_splits(
+        labels_np, idx_split_args, test=test)
+
+    x_np = _densify_attributes(
+        preprocessing.normalize_attributes(graph.attr_matrix))
+    # Sharded/padded propagators require H⁰ (hence X) padded to their row
+    # count; padding rows are zero and never selected by any idx.
+    n_rows = getattr(propagator, "n_rows", x_np.shape[0])
+    if n_rows > x_np.shape[0]:
+        x_np = np.pad(x_np, ((0, n_rows - x_np.shape[0]), (0, 0)))
+    x = jnp.asarray(x_np, dtype=dtype)
+    if hasattr(propagator, "input_sharding"):
+        x = jax.device_put(x, propagator.input_sharding())
+
+    idx_train = jnp.asarray(idx_train_np)
+    idx_stop = jnp.asarray(idx_stop_np)
+    y_train = jnp.asarray(labels_np[idx_train_np])
+    y_stop = jnp.asarray(labels_np[idx_stop_np])
+
+    root_key = jax.random.PRNGKey(seed)
+    key_init, key_epochs = jax.random.split(root_key)
+    params = init_mlp_params(
+        key_init, x.shape[1], list(hidden_units),
+        int(labels_np.max()) + 1, dtype=dtype)
+
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+
+    # One fused jitted call per epoch: optimizer step + stopping-set eval.
+    # (The reference does these as two separate forwards per epoch —
+    # SURVEY.md §3.1; fusing them halves per-epoch dispatch overhead.)
+    @jax.jit
+    def epoch_step(params, opt_state, key):
+        def loss_fn(p):
+            logp = ppnp_forward(p, x, propagator, idx_train, key=key,
+                                train=True, drop_prob=drop_prob)
+            return _nll(logp, y_train) + (reg_lambda / 2.0) * l2_reg(p)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+
+        logp = ppnp_forward(params, x, propagator, idx_stop, train=False)
+        stop_loss = _nll(logp, y_stop)
+        stop_acc = jnp.mean(jnp.argmax(logp, axis=-1) == y_stop)
+        return params, opt_state, loss, stop_acc, stop_loss
+
+    early_stopping = EarlyStopping(
+        stop_varnames=stop_args["stop_varnames"],
+        patience=stop_args["patience"],
+        max_epochs=max_epochs)
+
+    last_epoch = 0
+    for epoch in range(max_epochs):
+        last_epoch = epoch
+        key = jax.random.fold_in(key_epochs, epoch)
+        params, opt_state, train_loss, stop_acc, stop_loss = epoch_step(
+            params, opt_state, key)
+        stop_acc, stop_loss = float(stop_acc), float(stop_loss)
+
+        if metrics is not None:
+            metrics.write(event="epoch", epoch=epoch,
+                          train_loss=float(train_loss),
+                          stopping_accuracy=stop_acc,
+                          stopping_loss=stop_loss)
+        if print_interval and epoch % print_interval == 0:
+            logger.info(
+                "epoch %4d: train loss %.4f, stopping acc %.4f loss %.4f",
+                epoch, float(train_loss), stop_acc, stop_loss)
+
+        if early_stopping.check([stop_acc, stop_loss], epoch, state=params):
+            break
+
+    runtime = time.time() - t_start
+    if early_stopping.best_state is not None:
+        params = early_stopping.best_state  # restore best snapshot
+
+    # Final evaluation (eval mode) on all splits.
+    preds = get_predictions(params, x, propagator)
+    n_classes = int(labels_np.max()) + 1
+    result: Dict[str, Any] = {}
+    for split_name, idx in (("train", idx_train_np),
+                            ("early_stopping", idx_stop_np),
+                            ("valtest", idx_valtest_np)):
+        result[split_name] = {
+            "accuracy": accuracy(labels_np[idx], preds[idx]),
+            "f1_score": macro_f1(labels_np[idx], preds[idx], n_classes),
+        }
+    nepochs = last_epoch + 1
+    result.update(
+        runtime=runtime,
+        runtime_perepoch=runtime / max(nepochs, 1),
+        last_epoch=last_epoch,
+        best_epoch=early_stopping.best_epoch,
+        predictions=preds,
+    )
+    if metrics is not None:
+        metrics.write(event="final", **{
+            k: v for k, v in result.items() if k != "predictions"})
+    logger.info(
+        "done: %d epochs (best %s), valtest acc %.4f f1 %.4f, %.1fs",
+        nepochs, early_stopping.best_epoch,
+        result["valtest"]["accuracy"], result["valtest"]["f1_score"],
+        runtime)
+    return params, result

@@ -1,0 +1,99 @@
+"""Distributed propagation tests on 8 virtual CPU devices.
+
+SURVEY.md §4 "distributed-without-a-cluster": the sharded operator must
+agree with the unsharded oracle, for both exchange strategies, and its
+1-device mesh case must degenerate exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppnp_tpu.ops.normalize import calc_A_hat
+from ppnp_tpu.ops.propagation import PPRPowerIteration
+from ppnp_tpu.ops.sparse import edge_list_from_scipy
+from ppnp_tpu.parallel.mesh import make_mesh
+from ppnp_tpu.parallel.partition import build_sharded_graph
+from ppnp_tpu.parallel.sharded import ShardedPowerIteration
+
+
+@pytest.fixture(scope="module")
+def setup(small_graph):
+    a_hat = calc_A_hat(small_graph.adj_matrix)
+    n = a_hat.shape[0]
+    h0 = np.random.RandomState(0).randn(n, 16).astype(np.float32)
+    oracle = PPRPowerIteration(edges=edge_list_from_scipy(a_hat), alpha=0.1,
+                               niter=10)
+    z_ref = np.asarray(oracle(jnp.asarray(h0), train=False))
+    return a_hat, h0, z_ref
+
+
+def _run_sharded(a_hat, h0, n_devices, exchange):
+    mesh = make_mesh(n_devices=n_devices)
+    sg = build_sharded_graph(a_hat, n_shards=n_devices)
+    prop = ShardedPowerIteration(graph=sg, mesh=mesh, alpha=0.1, niter=10,
+                                 exchange=exchange)
+    h0_pad = np.pad(h0, ((0, sg.n_pad - h0.shape[0]), (0, 0)))
+    z = prop(jnp.asarray(h0_pad), train=False)
+    return np.asarray(z)[:h0.shape[0]]
+
+
+@pytest.mark.parametrize("exchange", ["alltoall", "allgather"])
+@pytest.mark.parametrize("n_devices", [1, 2, 8])
+def test_sharded_matches_unsharded(setup, n_devices, exchange):
+    a_hat, h0, z_ref = setup
+    if jax.device_count() < n_devices:
+        pytest.skip("not enough devices")
+    z = _run_sharded(a_hat, h0, n_devices, exchange)
+    np.testing.assert_allclose(z, z_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_partition_plan_consistency(setup):
+    """Every remapped src index points at the right global row."""
+    a_hat, _, _ = setup
+    sg = build_sharded_graph(a_hat, n_shards=4)
+    dst = np.asarray(sg.dst)
+    src = np.asarray(sg.src)
+    srcg = np.asarray(sg.src_global)
+    w = np.asarray(sg.w)
+    send_idx = np.asarray(sg.send_idx)
+    S, B, nd = sg.shard_rows, sg.boundary, sg.n_shards
+    for d in range(nd):
+        real = w[d] != 0
+        for e_src_remap, e_src_global in zip(src[d][real], srcg[d][real]):
+            if e_src_remap < S:  # local row
+                assert e_src_remap + d * S == e_src_global
+            else:  # boundary row: decode (owner, position)
+                o, p = divmod(e_src_remap - S, B)
+                assert send_idx[o, d, p] + o * S == e_src_global
+    # Total real edge count is preserved.
+    assert int((w != 0).sum()) == sg.nnz
+
+
+def test_sharded_train_mode_stochastic(setup):
+    a_hat, h0, _ = setup
+    mesh = make_mesh(n_devices=4)
+    sg = build_sharded_graph(a_hat, n_shards=4)
+    prop = ShardedPowerIteration(graph=sg, mesh=mesh, alpha=0.1, niter=3,
+                                 drop_prob=0.5)
+    h0_pad = jnp.asarray(np.pad(h0, ((0, sg.n_pad - h0.shape[0]), (0, 0))))
+    z1 = prop(h0_pad, train=True, key=jax.random.PRNGKey(0))
+    z2 = prop(h0_pad, train=True, key=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(z1), np.asarray(z2))
+
+
+def test_sharded_end_to_end_training(small_graph):
+    """Full sharded train step: DP MLP (GSPMD) + sharded propagation."""
+    from ppnp_tpu.train import train_model
+    a_hat = calc_A_hat(small_graph.adj_matrix)
+    mesh = make_mesh(n_devices=8)
+    sg = build_sharded_graph(a_hat, n_shards=8)
+    prop = ShardedPowerIteration(graph=sg, mesh=mesh, alpha=0.1, niter=5,
+                                 drop_prob=0.5)
+    _, res = train_model(
+        small_graph, prop, test=True, seed=0, print_interval=0,
+        idx_split_args={"ntrain_per_class": 20, "nstopping": 60,
+                        "nknown": 200, "seed": 11},
+        stopping_args={"max_epochs": 60, "patience": 30})
+    assert res["valtest"]["accuracy"] > 0.5
