@@ -1,0 +1,178 @@
+"""PairChunks: the Pallas SpMM kernel's edge packing.
+
+No reference analog — the reference's SpMM is ``torch.sparse.mm`` on
+CPU/GPU (ppnp/pytorch/propagation.py ~L45). On TPU, scatter/gather of
+irregular rows is the enemy; this packing reformulates SpMM so the kernel
+only ever does
+
+  - static dynamic-slices of a VMEM-resident H (one 128-row *src window*
+    per chunk),
+  - on-the-fly one-hot expansion matrices (built with iota compares on the
+    VPU), and
+  - small MXU matmuls: ``C = E @ H[sw:sw+W]`` (gather-as-matmul) and
+    ``out[dw:dw+W] += Dᵀ @ C`` (scatter-as-matmul),
+
+with zero per-edge scalar loops. Layout:
+
+- edges are lexsorted by (dst window, src window); each (dw, sw) pair's
+  edges are padded to a multiple of CHUNK (one *segment* = CHUNK edges of
+  one pair);
+- segments of one dst window are padded to a multiple of SEG_PER_MID
+  (one *midchunk* = MID = CHUNK·SEG_PER_MID edge slots, all with the same
+  dst window) so the scatter matmul runs once per MID edges;
+- per-segment arrays are stored pre-transposed — (CHUNK, n_seg) — so the
+  kernel's per-segment slice is a natural (CHUNK, 1) sublane vector;
+- padding slots carry w = 0 (they multiply to zero wherever they land).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from flax import struct
+
+from ppnp_tpu.utils.padding import round_up_to_multiple
+
+__all__ = ["PairChunks", "pair_chunks_from_scipy"]
+
+
+@struct.dataclass
+class PairChunks:
+    seg_bs: jnp.ndarray    # int32 [n_seg]          src-window base row
+    mid_bd: jnp.ndarray    # int32 [n_mid]          dst-window base row
+    e_src: jnp.ndarray     # int32 [CHUNK, n_seg]   src local in [0, W)
+    e_w: jnp.ndarray       # f32   [CHUNK, n_seg]   edge weight (0 = pad)
+    e_dst: jnp.ndarray     # int32 [n_mid, MID]     dst local in [0, W)
+    n_rows: int = struct.field(pytree_node=False)   # original rows
+    n_rows_pad: int = struct.field(pytree_node=False)
+    n_cols_pad: int = struct.field(pytree_node=False)
+    window: int = struct.field(pytree_node=False)
+    chunk: int = struct.field(pytree_node=False)
+    seg_per_mid: int = struct.field(pytree_node=False)
+    nnz: int = struct.field(pytree_node=False)
+
+    @property
+    def n_seg(self) -> int:
+        return self.seg_bs.shape[0]
+
+    @property
+    def n_mid(self) -> int:
+        return self.mid_bd.shape[0]
+
+    @property
+    def mid(self) -> int:
+        return self.chunk * self.seg_per_mid
+
+
+def pair_chunks_from_scipy(
+    mat: sp.spmatrix,
+    window: int = 128,
+    chunk: int = 8,
+    seg_per_mid: int = 16,
+    mids_per_step: int = 8,
+) -> PairChunks:
+    """Pack a scipy sparse matrix into PairChunks (host-side, runs once)."""
+    coo = mat.tocoo()
+    coo.sum_duplicates()
+    n_rows, n_cols = coo.shape
+    n_rows_pad = round_up_to_multiple(n_rows, window)
+    n_cols_pad = round_up_to_multiple(n_cols, window)
+    nnz = coo.nnz
+
+    dst = coo.row.astype(np.int64)
+    src = coo.col.astype(np.int64)
+    w = coo.data.astype(np.float32)
+    dw = dst // window
+    sw = src // window
+
+    order = np.lexsort((src, sw, dw))
+    dst, src, w, dw, sw = dst[order], src[order], w[order], dw[order], sw[order]
+
+    # --- pair-level padding to CHUNK (vectorized) ---------------------- #
+    pair_key = dw * (n_cols_pad // window) + sw
+    pair_change = np.concatenate([[True], pair_key[1:] != pair_key[:-1]])
+    pair_start = np.where(pair_change)[0]
+    pair_m = np.diff(np.append(pair_start, nnz))
+    pair_slots = chunk * -(-pair_m // chunk)  # padded edge count per pair
+    pair_off = np.concatenate([[0], np.cumsum(pair_slots)[:-1]])
+    # rank of each edge within its pair
+    rank = np.arange(nnz) - np.repeat(pair_start, pair_m)
+    slot_of_edge = np.repeat(pair_off, pair_m) + rank
+
+    total_slots = int(pair_slots.sum())
+    slot_src = np.zeros(total_slots, dtype=np.int32)
+    slot_dst = np.zeros(total_slots, dtype=np.int32)
+    slot_w = np.zeros(total_slots, dtype=np.float32)
+    slot_src[slot_of_edge] = (src % window).astype(np.int32)
+    slot_dst[slot_of_edge] = (dst % window).astype(np.int32)
+    slot_w[slot_of_edge] = w
+
+    n_seg0 = total_slots // chunk
+    seg_dw = np.repeat(dw[pair_start], pair_slots // chunk)
+    seg_sw = np.repeat(sw[pair_start], pair_slots // chunk)
+
+    # --- per-dst-window padding of segment counts to SEG_PER_MID ------- #
+    # (so every midchunk's MID slots share one dst window)
+    seg_src = slot_src.reshape(n_seg0, chunk)
+    seg_dst = slot_dst.reshape(n_seg0, chunk)
+    seg_w = slot_w.reshape(n_seg0, chunk)
+
+    out_src, out_dst, out_w, out_bs, out_dw = [], [], [], [], []
+    dw_change = np.concatenate([[True], seg_dw[1:] != seg_dw[:-1]]) \
+        if n_seg0 else np.array([], dtype=bool)
+    dw_starts = np.where(dw_change)[0]
+    dw_counts = np.diff(np.append(dw_starts, n_seg0))
+    for start, count, d in zip(dw_starts, dw_counts,
+                               seg_dw[dw_starts] if n_seg0 else []):
+        pad = (-count) % seg_per_mid
+        out_src.append(seg_src[start:start + count])
+        out_dst.append(seg_dst[start:start + count])
+        out_w.append(seg_w[start:start + count])
+        out_bs.append(seg_sw[start:start + count] * window)
+        out_dw.append(np.full(count + pad, d * window, dtype=np.int32))
+        if pad:
+            out_src.append(np.zeros((pad, chunk), dtype=np.int32))
+            out_dst.append(np.zeros((pad, chunk), dtype=np.int32))
+            out_w.append(np.zeros((pad, chunk), dtype=np.float32))
+            out_bs.append(np.zeros(pad, dtype=np.int32))
+
+    if out_src:
+        seg_src = np.concatenate(out_src)
+        seg_dst = np.concatenate(out_dst)
+        seg_w = np.concatenate(out_w)
+        seg_bs = np.concatenate(out_bs).astype(np.int32)
+        seg_dw_rows = np.concatenate(out_dw)
+    else:  # empty matrix
+        seg_src = np.zeros((0, chunk), dtype=np.int32)
+        seg_dst = np.zeros((0, chunk), dtype=np.int32)
+        seg_w = np.zeros((0, chunk), dtype=np.float32)
+        seg_bs = np.zeros(0, dtype=np.int32)
+        seg_dw_rows = np.zeros(0, dtype=np.int32)
+
+    # --- global padding: whole midchunks, to a multiple of
+    # mids_per_step midchunks per grid step ------------------------------ #
+    n_seg = seg_src.shape[0]
+    mid = chunk * seg_per_mid
+    n_mid = -(-n_seg // seg_per_mid)
+    n_mid = round_up_to_multiple(max(n_mid, 1), mids_per_step)
+    n_seg_pad = n_mid * seg_per_mid
+    pad = n_seg_pad - n_seg
+    if pad:
+        seg_src = np.pad(seg_src, ((0, pad), (0, 0)))
+        seg_dst = np.pad(seg_dst, ((0, pad), (0, 0)))
+        seg_w = np.pad(seg_w, ((0, pad), (0, 0)))
+        seg_bs = np.pad(seg_bs, (0, pad))
+        seg_dw_rows = np.pad(seg_dw_rows, (0, pad))
+
+    mid_bd = seg_dw_rows.reshape(n_mid, seg_per_mid)[:, 0].astype(np.int32)
+    e_dst = seg_dst.reshape(n_mid, mid).astype(np.int32)
+
+    return PairChunks(
+        seg_bs=jnp.asarray(seg_bs),
+        mid_bd=jnp.asarray(mid_bd),
+        e_src=jnp.asarray(seg_src.T.copy()),
+        e_w=jnp.asarray(seg_w.T.copy()),
+        e_dst=jnp.asarray(e_dst),
+        n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
+        window=window, chunk=chunk, seg_per_mid=seg_per_mid, nnz=nnz)

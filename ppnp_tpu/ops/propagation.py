@@ -49,17 +49,19 @@ def spmm_edge_list(edges: EdgeList, h: jnp.ndarray,
 
 def spmm(edges: EdgeList, h: jnp.ndarray,
          w: Optional[jnp.ndarray] = None,
-         ell: Optional[EllBlocks] = None,
+         pair_chunks=None,
          backend: str = "xla") -> jnp.ndarray:
-    """Backend-dispatching SpMM: 'xla' (gather+segsum) or 'pallas' (ELL)."""
+    """Backend-dispatching SpMM: 'xla' (gather+segsum) or 'pallas'
+    (the PairChunks MXU kernel — see ppnp_tpu.kernels.spmm)."""
     if backend == "pallas":
-        if ell is None:
-            raise ValueError("pallas backend requires EllBlocks")
-        from ppnp_tpu.kernels.spmm import spmm_ell_pallas
+        if pair_chunks is None:
+            raise ValueError("pallas backend requires pair_chunks")
         if w is not None:
             raise ValueError(
-                "pallas backend takes dropout via pre-masked ell.vals")
-        return spmm_ell_pallas(ell, h)
+                "pallas backend takes per-iteration weights via the "
+                "kernel's e_w argument, not the EdgeList w")
+        from ppnp_tpu.kernels.spmm import spmm_pair_chunks
+        return spmm_pair_chunks(pair_chunks, h)
     return spmm_edge_list(edges, h, w)
 
 
@@ -72,7 +74,7 @@ class PPRPowerIteration:
     """
 
     edges: EdgeList
-    ell: Optional[EllBlocks] = None
+    pair_chunks: Optional[object] = None  # PairChunks for backend="pallas"
     alpha: float = struct.field(pytree_node=False, default=0.1)
     niter: int = struct.field(pytree_node=False, default=10)
     drop_prob: float = struct.field(pytree_node=False, default=0.5)
@@ -101,7 +103,8 @@ class PPRPowerIteration:
             h, _ = jax.lax.scan(step, h0, keys)
         else:
             def step(h, _):
-                ah = spmm(self.edges, h, ell=self.ell, backend=self.backend)
+                ah = spmm(self.edges, h, pair_chunks=self.pair_chunks,
+                          backend=self.backend)
                 h = one_minus_alpha * ah + alpha_h0
                 return h, None
 

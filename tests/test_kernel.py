@@ -1,0 +1,92 @@
+"""Pallas SpMM kernel tests — interpreter mode on CPU (SURVEY.md §4:
+"run in Pallas interpreter mode so it works on CPU CI").
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ppnp_tpu.kernels.spmm import spmm_pair_chunks
+from ppnp_tpu.ops.normalize import calc_A_hat
+from ppnp_tpu.ops.pairchunks import pair_chunks_from_scipy
+from ppnp_tpu.ops.propagation import PPRPowerIteration
+from ppnp_tpu.ops.sparse import edge_list_from_scipy
+
+
+@pytest.mark.parametrize("n,density,c", [
+    (300, 0.02, 16),
+    (1000, 0.005, 128),
+    (513, 0.01, 64),   # non-multiple-of-window row count
+])
+def test_kernel_matches_scipy(n, density, c):
+    rng = np.random.RandomState(n)
+    a = sp.random(n, n, density=density, random_state=rng, format="csr",
+                  dtype=np.float32)
+    h = rng.randn(n, c).astype(np.float32)
+    pc = pair_chunks_from_scipy(a)
+    out = spmm_pair_chunks(pc, jnp.asarray(h), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), a @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_rectangular():
+    rng = np.random.RandomState(7)
+    a = sp.random(200, 450, density=0.02, random_state=rng, format="csr",
+                  dtype=np.float32)
+    h = rng.randn(450, 32).astype(np.float32)
+    pc = pair_chunks_from_scipy(a)
+    out = spmm_pair_chunks(pc, jnp.asarray(h), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), a @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_empty_rows_and_hubs():
+    """Degree skew: hub rows + empty rows exercise pair/midchunk padding."""
+    n = 260
+    rng = np.random.RandomState(3)
+    rows = np.concatenate([np.zeros(200, dtype=np.int64),  # hub row 0
+                           rng.randint(0, n // 2, size=300)])
+    cols = rng.randint(0, n, size=500)
+    w = rng.rand(500).astype(np.float32)
+    a = sp.csr_matrix((w, (rows, cols)), shape=(n, n))
+    a.sum_duplicates()
+    h = rng.randn(n, 16).astype(np.float32)
+    pc = pair_chunks_from_scipy(a)
+    out = spmm_pair_chunks(pc, jnp.asarray(h), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), a @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_weight_override():
+    """The e_w argument drives per-iteration edge dropout."""
+    rng = np.random.RandomState(11)
+    a = sp.random(256, 256, density=0.02, random_state=rng, format="csr",
+                  dtype=np.float32)
+    h = rng.randn(256, 8).astype(np.float32)
+    pc = pair_chunks_from_scipy(a)
+    out_zero = spmm_pair_chunks(pc, jnp.asarray(h),
+                                e_w=jnp.zeros_like(pc.e_w), interpret=True)
+    np.testing.assert_allclose(np.asarray(out_zero), 0.0)
+    out_double = spmm_pair_chunks(pc, jnp.asarray(h), e_w=2.0 * pc.e_w,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(out_double), 2 * (a @ h),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_power_iteration_pallas_backend_matches_xla(small_graph):
+    a_hat = calc_A_hat(small_graph.adj_matrix)
+    h0 = jnp.asarray(np.random.RandomState(0).randn(
+        small_graph.num_nodes(), 8).astype(np.float32))
+    edges = edge_list_from_scipy(a_hat)
+    xla_prop = PPRPowerIteration(edges=edges, alpha=0.1, niter=4)
+    z_ref = np.asarray(xla_prop(h0, train=False))
+    # Pallas backend in interpreter mode (CPU).
+    import functools
+    from unittest import mock
+    from ppnp_tpu.kernels import spmm as spmm_mod
+    pc = pair_chunks_from_scipy(a_hat)
+    pallas_prop = PPRPowerIteration(
+        edges=edges, pair_chunks=pc, alpha=0.1, niter=4, backend="pallas")
+    interp_spmm = functools.partial(spmm_mod.spmm_pair_chunks,
+                                    interpret=True)
+    with mock.patch.object(spmm_mod, "spmm_pair_chunks", interp_spmm):
+        z = np.asarray(pallas_prop(h0, train=False))
+    np.testing.assert_allclose(z, z_ref, rtol=1e-4, atol=1e-4)
