@@ -1,0 +1,197 @@
+"""CLI: ``python -m ppnp_tpu {train,reproduce,bench,retrieve,info} ...``
+
+Reference analog: the notebooks are the reference's only driver
+(SURVEY.md §2.1 "Experiment driver"); this CLI flattens them into
+commands with the same defaults as the paper protocol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+import numpy as np
+
+from ppnp_tpu.config import RunConfig
+
+logger = logging.getLogger(__name__)
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataset", default="cora_ml")
+    p.add_argument("--propagation", default="power",
+                   choices=["power", "exact", "sharded"])
+    p.add_argument("--alpha", type=float, default=None,
+                   help="PPR teleport (default: dataset-specific)")
+    p.add_argument("--k", "--niter", dest="niter", type=int, default=10)
+    p.add_argument("--hidden", type=int, nargs="+", default=[64])
+    p.add_argument("--drop-prob", type=float, default=0.5)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--reg-lambda", type=float, default=5e-3)
+    p.add_argument("--max-epochs", type=int, default=3000)
+    p.add_argument("--patience", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--test", action="store_true",
+                   help="evaluate on the held-out test population")
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--exchange", default="alltoall",
+                   choices=["alltoall", "allgather"])
+    p.add_argument("--n-shards", type=int, default=None)
+    p.add_argument("--print-interval", type=int, default=20)
+
+
+def _cfg_from_args(args) -> RunConfig:
+    return RunConfig(
+        dataset=args.dataset, propagation=args.propagation,
+        alpha=args.alpha, niter=args.niter, hidden=list(args.hidden),
+        drop_prob=args.drop_prob, learning_rate=args.lr,
+        reg_lambda=args.reg_lambda, max_epochs=args.max_epochs,
+        patience=args.patience, seed=args.seed, test=args.test,
+        backend=args.backend, exchange=args.exchange,
+        n_shards=args.n_shards, print_interval=args.print_interval,
+        metrics_path=getattr(args, "metrics_out", None),
+        checkpoint_dir=getattr(args, "checkpoint_dir", None),
+        resume=getattr(args, "resume", False),
+    )
+
+
+def cmd_train(args) -> int:
+    from ppnp_tpu.builders import build_propagator, load_graph, train_kwargs
+    from ppnp_tpu.metrics import JsonlWriter
+    from ppnp_tpu.train import train_model
+
+    cfg = _cfg_from_args(args)
+    graph = load_graph(cfg)
+    logger.info("dataset %s: %s", cfg.dataset, graph)
+    propagator = build_propagator(cfg, graph)
+    metrics = JsonlWriter(cfg.metrics_path) if cfg.metrics_path else None
+    _, result = train_model(
+        graph, propagator, metrics=metrics,
+        checkpoint_dir=cfg.checkpoint_dir, resume=cfg.resume,
+        **train_kwargs(cfg))
+    out = {k: v for k, v in result.items() if k != "predictions"}
+    out["config"] = json.loads(cfg.to_json())
+    print(json.dumps(out, indent=2, default=float))
+    return 0
+
+
+def cmd_reproduce(args) -> int:
+    from ppnp_tpu.reproduce import DEFAULT_SEEDS, run_seed_sweep
+
+    cfg = _cfg_from_args(args)
+    cfg.test = True
+    seeds = DEFAULT_SEEDS[:args.nseeds]
+    rows = []
+    for dataset in args.datasets:
+        cfg.dataset = dataset
+        res = run_seed_sweep(cfg, seeds=seeds, out_path=args.out and
+                             f"{args.out}_{dataset}.json")
+        rows.append((dataset, res["mean_accuracy"], res["ci95_accuracy"]))
+        print(f"{dataset}: {100*res['mean_accuracy']:.2f} "
+              f"± {100*res['ci95_accuracy']:.2f} %")
+    print(json.dumps({d: {"mean": m, "ci95": c} for d, m, c in rows},
+                     indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from ppnp_tpu.benchmarks import bench_propagation
+    res = bench_propagation(dataset=args.dataset, c=args.c,
+                            niter=args.niter, iters=args.iters,
+                            backends=args.backends)
+    print(json.dumps(res, indent=2, default=float))
+    return 0
+
+
+def cmd_retrieve(args) -> int:
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from ppnp_tpu.builders import build_propagator, load_graph, train_kwargs
+    from ppnp_tpu.preprocessing import normalize_attributes
+    from ppnp_tpu.retrieval import build_embedding_table, retrieve_topk
+    from ppnp_tpu.train import train_model
+
+    cfg = _cfg_from_args(args)
+    graph = load_graph(cfg)
+    propagator = build_propagator(cfg, graph)
+    params, _ = train_model(graph, propagator, **train_kwargs(cfg))
+    attr = normalize_attributes(graph.attr_matrix)
+    x = jnp.asarray(np.asarray(attr.todense() if sp.issparse(attr) else attr,
+                               dtype=np.float32))
+    n_rows = getattr(propagator, "n_rows", x.shape[0])
+    if n_rows > x.shape[0]:
+        x = jnp.pad(x, ((0, n_rows - x.shape[0]), (0, 0)))
+    table = build_embedding_table(params, x, propagator, level=args.level)
+    queries = table[:args.nqueries]
+    scores, idx = retrieve_topk(queries, table[:graph.num_nodes()],
+                                k=args.topk)
+    for q in range(args.nqueries):
+        print(f"query node {q}: top-{args.topk} = "
+              f"{np.asarray(idx[q]).tolist()} "
+              f"(scores {np.round(np.asarray(scores[q]), 4).tolist()})")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+    print(json.dumps({
+        "jax": jax.__version__,
+        "devices": [str(d) for d in jax.devices()],
+        "process_count": jax.process_count(),
+        "default_backend": jax.default_backend(),
+    }, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+    parser = argparse.ArgumentParser(prog="ppnp_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="train one model")
+    _add_common(p)
+    p.add_argument("--metrics-out", default=None,
+                   help="JSONL per-epoch metrics path")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("reproduce",
+                       help="seed-sweep accuracy table (paper protocol)")
+    _add_common(p)
+    p.add_argument("--datasets", nargs="+",
+                   default=["cora_ml", "citeseer", "pubmed"])
+    p.add_argument("--nseeds", type=int, default=5)
+    p.add_argument("--out", default=None, help="result JSON path prefix")
+    p.set_defaults(fn=cmd_reproduce)
+
+    p = sub.add_parser("bench", help="propagation throughput benchmark")
+    p.add_argument("--dataset", default="ms_academic")
+    p.add_argument("--c", type=int, default=128)
+    p.add_argument("--niter", type=int, default=10)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--backends", nargs="+", default=["xla", "pallas"])
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("retrieve", help="train + top-k retrieval demo")
+    _add_common(p)
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--nqueries", type=int, default=5)
+    p.add_argument("--level", default="hidden",
+                   choices=["hidden", "logits"])
+    p.set_defaults(fn=cmd_retrieve)
+
+    p = sub.add_parser("info", help="device/platform info")
+    p.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

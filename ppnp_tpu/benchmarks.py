@@ -1,0 +1,101 @@
+"""Benchmark harness: propagation throughput and roofline accounting.
+
+The reference publishes no throughput numbers (SURVEY.md §6); the
+north-star metrics are BASELINE.json:2,5 — propagation steps/s/chip,
+effective SpMM bandwidth vs the HBM roofline, and multi-host scaling.
+This module measures them; the repo-root ``bench.py`` wraps it into the
+driver's one-line JSON contract.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppnp_tpu.config import RunConfig
+from ppnp_tpu.builders import load_graph, resolve_alpha
+from ppnp_tpu.ops.normalize import calc_A_hat
+from ppnp_tpu.ops.pairchunks import pair_chunks_from_scipy
+from ppnp_tpu.ops.propagation import PPRPowerIteration
+from ppnp_tpu.ops.sparse import edge_list_from_scipy
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["bench_propagation", "HBM_BYTES_PER_S"]
+
+# v5e HBM bandwidth (pltpu.get_tpu_info().mem_bw_bytes_per_second).
+HBM_BYTES_PER_S = 820e9
+
+
+def _time(f, *args, iters: int = 30) -> float:
+    r = f(*args)
+    jax.tree.map(lambda x: x.block_until_ready(), r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(*args)
+    jax.tree.map(lambda x: x.block_until_ready(), r)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_propagation(
+    dataset: str = "ms_academic",
+    c: int = 128,
+    niter: int = 10,
+    iters: int = 30,
+    backends: Sequence[str] = ("xla", "pallas"),
+    seed: int = 0,
+) -> Dict:
+    """Time K-step APPNP propagation per backend on a dataset's graph.
+
+    Returns per-backend {seconds, steps_per_s, effective_gbps} plus the
+    speed-of-light accounting: bytes/step ≈ nnz·(4+4) + 2·n·c·4
+    (edge stream + H in/out, BASELINE.md's roofline formula).
+    """
+    cfg = RunConfig(dataset=dataset)
+    graph = load_graph(cfg)
+    a_hat = calc_A_hat(graph.adj_matrix)
+    alpha = resolve_alpha(cfg)
+    n = graph.num_nodes()
+    nnz = a_hat.nnz
+    rng = np.random.RandomState(seed)
+    h0 = jnp.asarray(rng.randn(n, c).astype(np.float32))
+
+    bytes_per_step = nnz * 8 + 2 * n * c * 4
+    sol_step_s = bytes_per_step / HBM_BYTES_PER_S
+
+    edges = edge_list_from_scipy(a_hat)
+    result: Dict = {
+        "dataset": dataset, "n": n, "nnz": int(nnz), "c": c,
+        "niter": niter,
+        "bytes_per_step": int(bytes_per_step),
+        "sol_step_us": sol_step_s * 1e6,
+        "device": str(jax.devices()[0]),
+        "backends": {},
+    }
+    for backend in backends:
+        pc = pair_chunks_from_scipy(a_hat) if backend == "pallas" else None
+        prop = PPRPowerIteration(edges=edges, pair_chunks=pc, alpha=alpha,
+                                 niter=niter, backend=backend)
+        f = jax.jit(lambda h, p=prop: p(h, train=False))
+        try:
+            t = _time(f, h0, iters=iters)
+        except Exception as e:  # pragma: no cover - backend unavailable
+            logger.warning("backend %s failed: %s", backend, str(e)[:200])
+            result["backends"][backend] = {"error": str(e)[:500]}
+            continue
+        step_s = t / niter
+        result["backends"][backend] = {
+            "seconds_per_call": t,
+            "steps_per_s": 1.0 / step_s,
+            "effective_gbps": bytes_per_step / step_s / 1e9,
+            "fraction_of_sol": sol_step_s / step_s,
+        }
+        logger.info("%s: %.0f steps/s (%.1f us/step, %.1f%% of SOL)",
+                    backend, 1 / step_s, step_s * 1e6,
+                    100 * sol_step_s / step_s)
+    return result

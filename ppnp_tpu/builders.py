@@ -1,0 +1,88 @@
+"""Builders: RunConfig + graph → propagation operator / training kwargs.
+
+The reference's callers construct the propagation module by hand in each
+notebook (SURVEY.md §3.1: ``model_args['propagation']`` is pre-built);
+this module is the single place where the CLI and the experiment harness
+translate a config into operators.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Tuple
+
+import jax
+
+from ppnp_tpu.config import RunConfig
+from ppnp_tpu.data.datasets import DATASETS, load_dataset
+from ppnp_tpu.data.sparsegraph import SparseGraph
+from ppnp_tpu.ops.exact import PPRExact, calc_ppr_exact
+from ppnp_tpu.ops.normalize import calc_A_hat
+from ppnp_tpu.ops.pairchunks import pair_chunks_from_scipy
+from ppnp_tpu.ops.propagation import PPRPowerIteration
+from ppnp_tpu.ops.sparse import edge_list_from_scipy
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["load_graph", "build_propagator", "train_kwargs"]
+
+
+def load_graph(cfg: RunConfig) -> SparseGraph:
+    return load_dataset(cfg.dataset).standardize()
+
+
+def resolve_alpha(cfg: RunConfig) -> float:
+    if cfg.alpha is not None:
+        return cfg.alpha
+    spec = DATASETS.get(cfg.dataset)
+    return spec.alpha if spec is not None else 0.1
+
+
+def build_propagator(cfg: RunConfig, graph: SparseGraph):
+    """Construct the propagation operator named by the config."""
+    a_hat = calc_A_hat(graph.adj_matrix)
+    alpha = resolve_alpha(cfg)
+    if cfg.propagation == "exact":
+        return PPRExact(ppr=calc_ppr_exact(a_hat, alpha),
+                        drop_prob=cfg.drop_prob)
+    if cfg.propagation == "power":
+        pc = (pair_chunks_from_scipy(a_hat) if cfg.backend == "pallas"
+              else None)
+        return PPRPowerIteration(
+            edges=edge_list_from_scipy(a_hat), pair_chunks=pc,
+            alpha=alpha, niter=cfg.niter, drop_prob=cfg.drop_prob,
+            backend=cfg.backend)
+    if cfg.propagation == "sharded":
+        from ppnp_tpu.parallel.mesh import make_mesh
+        from ppnp_tpu.parallel.partition import build_sharded_graph
+        from ppnp_tpu.parallel.sharded import ShardedPowerIteration
+        n_shards = cfg.n_shards or jax.device_count()
+        mesh = make_mesh(n_devices=n_shards)
+        sg = build_sharded_graph(a_hat, n_shards=n_shards)
+        logger.info("sharded over %d devices: S=%d B=%d E=%d",
+                    n_shards, sg.shard_rows, sg.boundary, sg.edges_pad)
+        return ShardedPowerIteration(
+            graph=sg, mesh=mesh, alpha=alpha, niter=cfg.niter,
+            drop_prob=cfg.drop_prob, exchange=cfg.exchange)
+    raise ValueError(f"unknown propagation {cfg.propagation!r}")
+
+
+def train_kwargs(cfg: RunConfig) -> Dict[str, Any]:
+    """kwargs for ``ppnp_tpu.train.train_model`` from a config."""
+    return dict(
+        hidden_units=list(cfg.hidden),
+        drop_prob=cfg.drop_prob,
+        learning_rate=cfg.learning_rate,
+        reg_lambda=cfg.reg_lambda,
+        idx_split_args={
+            "ntrain_per_class": cfg.ntrain_per_class,
+            "nstopping": cfg.nstopping,
+            "nknown": cfg.nknown,
+            "seed": cfg.split_seed,
+        },
+        stopping_args={"max_epochs": cfg.max_epochs,
+                       "patience": cfg.patience},
+        test=cfg.test,
+        seed=cfg.seed,
+        print_interval=cfg.print_interval,
+    )

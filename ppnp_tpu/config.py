@@ -1,0 +1,59 @@
+"""Typed run configuration.
+
+Reference analog: the notebook dicts ``model_args`` / ``idx_split_args`` /
+``stopping_args`` (SURVEY.md §5 "Config" row) — here a serializable
+dataclass consumed by the CLI and stored into checkpoints/result JSON for
+reproducibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+__all__ = ["RunConfig"]
+
+
+@dataclass
+class RunConfig:
+    # data
+    dataset: str = "cora_ml"
+    test: bool = False
+    ntrain_per_class: int = 20
+    nstopping: int = 500
+    nknown: int = 1500
+    split_seed: int = 2413340114
+
+    # model (reference defaults: SURVEY.md §6 hyperparameters)
+    hidden: List[int] = field(default_factory=lambda: [64])
+    drop_prob: float = 0.5
+
+    # propagation
+    propagation: str = "power"   # power | exact | sharded
+    alpha: Optional[float] = None  # None → dataset default
+    niter: int = 10
+    backend: str = "xla"         # xla | pallas (power iteration SpMM)
+    exchange: str = "alltoall"   # sharded: alltoall | allgather
+    n_shards: Optional[int] = None  # sharded: None → all devices
+
+    # optimization
+    learning_rate: float = 0.01
+    reg_lambda: float = 5e-3
+    max_epochs: int = 3000
+    patience: int = 100
+    seed: int = 0
+
+    # io
+    metrics_path: Optional[str] = None
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
+    print_interval: int = 20
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "RunConfig":
+        return cls(**json.loads(s))

@@ -85,6 +85,9 @@ def train_model(
     print_interval: int = 20,
     metrics: Optional[JsonlWriter] = None,
     dtype=jnp.float32,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 500,
+    resume: bool = False,
 ) -> Tuple[Any, Dict[str, Any]]:
     """Train PPNP/APPNP on a graph; returns (params, result_dict).
 
@@ -152,8 +155,61 @@ def train_model(
         patience=stop_args["patience"],
         max_epochs=max_epochs)
 
-    last_epoch = 0
-    for epoch in range(max_epochs):
+    start_epoch = 0
+    if resume and checkpoint_dir is not None:
+        from ppnp_tpu import checkpoint as ckpt_mod
+        # Restore against a live target so optax NamedTuple states keep
+        # their structure (orbax would otherwise return plain dicts).
+        target = {
+            "params": params,
+            "opt_state": opt_state,
+            "epoch": 0,
+            "early_stopping": {
+                "best_vals": np.zeros(2), "patience": 0,
+                "best_acc": 0.0, "best_loss": 0.0, "best_epoch": 0,
+            },
+            "best_state": params,
+        }
+        state = ckpt_mod.restore_checkpoint(checkpoint_dir, target=target)
+        if state is not None:
+            params = jax.tree.map(jnp.asarray, state["params"])
+            opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+            start_epoch = int(state["epoch"]) + 1
+            es = state["early_stopping"]
+            early_stopping.best_vals = list(np.asarray(es["best_vals"]))
+            early_stopping.patience = int(es["patience"])
+            early_stopping._best_acc = float(es["best_acc"])
+            early_stopping._best_loss = float(es["best_loss"])
+            early_stopping.best_epoch = (int(es["best_epoch"])
+                                         if es["best_epoch"] >= 0 else None)
+            early_stopping.best_state = jax.tree.map(
+                jnp.asarray, state["best_state"])
+            logger.info("resumed from epoch %d", start_epoch)
+
+    def _save(epoch):
+        from ppnp_tpu import checkpoint as ckpt_mod
+        ckpt_mod.save_checkpoint(checkpoint_dir, epoch, {
+            "params": params,
+            "opt_state": opt_state,
+            "epoch": epoch,
+            "early_stopping": {
+                "best_vals": np.asarray(early_stopping.best_vals),
+                "patience": early_stopping.patience,
+                "best_acc": early_stopping._best_acc,
+                "best_loss": early_stopping._best_loss,
+                "best_epoch": (early_stopping.best_epoch
+                               if early_stopping.best_epoch is not None
+                               else -1),
+            },
+            # Fall back to current params so the checkpoint tree shape is
+            # stable (restore maps onto a live target).
+            "best_state": (early_stopping.best_state
+                           if early_stopping.best_state is not None
+                           else params),
+        })
+
+    last_epoch = start_epoch
+    for epoch in range(start_epoch, max_epochs):
         last_epoch = epoch
         key = jax.random.fold_in(key_epochs, epoch)
         params, opt_state, train_loss, stop_acc, stop_loss = epoch_step(
@@ -170,7 +226,12 @@ def train_model(
                 "epoch %4d: train loss %.4f, stopping acc %.4f loss %.4f",
                 epoch, float(train_loss), stop_acc, stop_loss)
 
-        if early_stopping.check([stop_acc, stop_loss], epoch, state=params):
+        stop_now = early_stopping.check([stop_acc, stop_loss], epoch,
+                                        state=params)
+        if checkpoint_dir is not None and (
+                stop_now or (epoch + 1) % checkpoint_every == 0):
+            _save(epoch)
+        if stop_now:
             break
 
     runtime = time.time() - t_start

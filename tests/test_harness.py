@@ -1,0 +1,109 @@
+"""Tests for the harness layer: config, checkpoint/resume, metrics,
+seed-sweep, CLI argument plumbing, and the driver entry points."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ppnp_tpu.config import RunConfig
+from ppnp_tpu.metrics import JsonlWriter, accuracy, macro_f1
+from ppnp_tpu.reproduce import bootstrap_ci
+
+
+def test_config_roundtrip():
+    cfg = RunConfig(dataset="pubmed", hidden=[32, 16], alpha=0.2,
+                    backend="pallas")
+    cfg2 = RunConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+
+def test_metrics_math():
+    y = np.array([0, 1, 1, 2, 2, 2])
+    p = np.array([0, 1, 0, 2, 2, 1])
+    assert accuracy(y, p) == pytest.approx(4 / 6)
+    # sklearn-verified macro f1 for this case
+    f1_c0 = 2 * 1 / (2 * 1 + 1 + 0)
+    f1_c1 = 2 * 1 / (2 * 1 + 1 + 1)
+    f1_c2 = 2 * 2 / (2 * 2 + 0 + 1)
+    assert macro_f1(y, p) == pytest.approx((f1_c0 + f1_c1 + f1_c2) / 3)
+
+
+def test_jsonl_writer(tmp_path):
+    path = tmp_path / "m.jsonl"
+    with JsonlWriter(path) as w:
+        w.write(event="epoch", epoch=0, loss=1.5)
+        w.write(event="final", acc=0.9)
+    rows = [json.loads(line) for line in open(path)]
+    assert rows[0]["event"] == "epoch" and rows[0]["loss"] == 1.5
+    assert rows[1]["acc"] == 0.9
+    assert all("ts" in r for r in rows)
+
+
+def test_bootstrap_ci():
+    assert bootstrap_ci([0.8]) == 0.0
+    ci = bootstrap_ci([0.8, 0.82, 0.79, 0.81, 0.8] * 4)
+    assert 0.0 < ci < 0.02
+
+
+def test_checkpoint_roundtrip(tmp_path, small_graph):
+    from ppnp_tpu.builders import build_propagator, train_kwargs
+    from ppnp_tpu.train import train_model
+
+    cfg = RunConfig(dataset="unused", max_epochs=8, patience=100,
+                    print_interval=0, ntrain_per_class=10, nstopping=40,
+                    nknown=150)
+    prop = build_propagator(
+        RunConfig(propagation="power", niter=3), small_graph)
+    kw = train_kwargs(cfg)
+    d = str(tmp_path / "ckpt")
+    _, r1 = train_model(small_graph, prop, checkpoint_dir=d,
+                        checkpoint_every=4, **kw)
+    assert os.path.isdir(os.path.join(d, "step_7"))
+
+    cfg2 = RunConfig(dataset="unused", max_epochs=12, patience=100,
+                     print_interval=0, ntrain_per_class=10, nstopping=40,
+                     nknown=150)
+    _, r2 = train_model(small_graph, prop, checkpoint_dir=d, resume=True,
+                        checkpoint_every=100, **train_kwargs(cfg2))
+    assert r2["last_epoch"] == 11  # continued, not restarted
+
+
+def test_builders_all_propagations(small_graph):
+    from ppnp_tpu.builders import build_propagator
+    from ppnp_tpu.ops.exact import PPRExact
+    from ppnp_tpu.ops.propagation import PPRPowerIteration
+    from ppnp_tpu.parallel.sharded import ShardedPowerIteration
+
+    p1 = build_propagator(RunConfig(propagation="power"), small_graph)
+    assert isinstance(p1, PPRPowerIteration)
+    p2 = build_propagator(RunConfig(propagation="exact"), small_graph)
+    assert isinstance(p2, PPRExact)
+    p3 = build_propagator(RunConfig(propagation="sharded", n_shards=4),
+                          small_graph)
+    assert isinstance(p3, ShardedPowerIteration)
+    with pytest.raises(ValueError):
+        build_propagator(RunConfig(propagation="bogus"), small_graph)
+
+
+def test_cli_info(capsys):
+    from ppnp_tpu.__main__ import main
+    assert main(["info"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["devices"]
+
+
+def test_graft_entry_single_device():
+    import jax
+
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == args[1].shape[0]
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
