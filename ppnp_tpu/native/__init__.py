@@ -1,0 +1,108 @@
+"""ctypes bindings for the C++ native ingest tier (csrc/).
+
+The reference has no native code (SURVEY.md §2.1); this is the
+production-scale host runtime: the pair-chunk packer in C++ (O(nnz),
+single pass per dst window) with a build-on-demand .so and a clean
+fallback to the vectorized numpy implementation when no compiler is
+available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["get_lib", "pack_pair_chunks_native", "native_available"]
+
+_CSRC = Path(__file__).resolve().parents[2] / "csrc"
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build() -> Optional[Path]:
+    so = _CSRC / "libppnp_pack.so"
+    if so.exists() and so.stat().st_mtime >= (_CSRC / "pack.cc").stat().st_mtime:
+        return so
+    try:
+        subprocess.run(["make", "-C", str(_CSRC)], check=True,
+                       capture_output=True, timeout=120)
+        return so if so.exists() else None
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        logger.info("native build unavailable (%s); using numpy packer", e)
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    i64, i32, f32 = (np.ctypeslib.ndpointer(dtype=d, flags="C_CONTIGUOUS")
+                     for d in (np.int64, np.int32, np.float32))
+    lib.ppnp_pack_count.restype = ctypes.c_int64
+    lib.ppnp_pack_count.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64, i32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    lib.ppnp_pack_fill.restype = ctypes.c_int64
+    lib.ppnp_pack_fill.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64, i32, f32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32, i32, i32, i32, f32]
+    _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def pack_pair_chunks_native(
+    csr, window: int, chunk: int, seg_per_mid: int, mids_per_step: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                    np.ndarray, int]]:
+    """C++ packing → (seg_bs, seg_dw_rows, e_src, e_dst, e_w, n_seg_pad)
+    in (n_seg, chunk) row-major layout, or None if the lib is missing.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rows, n_cols = csr.shape
+    indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(csr.indices, dtype=np.int32)
+    data = np.ascontiguousarray(csr.data, dtype=np.float32)
+
+    n_seg = int(lib.ppnp_pack_count(n_rows, n_cols, indptr, indices,
+                                    window, chunk, seg_per_mid))
+    # Global padding: whole midchunks to a mids_per_step multiple.
+    n_mid = max(-(-n_seg // seg_per_mid), 1)
+    n_mid = -(-n_mid // mids_per_step) * mids_per_step
+    n_seg_pad = n_mid * seg_per_mid
+
+    seg_bs = np.zeros(n_seg_pad, dtype=np.int32)
+    seg_dw_rows = np.zeros(n_seg_pad, dtype=np.int32)
+    e_src = np.zeros(n_seg_pad * chunk, dtype=np.int32)
+    e_dst = np.zeros(n_seg_pad * chunk, dtype=np.int32)
+    e_w = np.zeros(n_seg_pad * chunk, dtype=np.float32)
+    written = int(lib.ppnp_pack_fill(
+        n_rows, n_cols, indptr, indices, data, window, chunk, seg_per_mid,
+        seg_bs, seg_dw_rows, e_src, e_dst, e_w))
+    assert written == n_seg, (written, n_seg)
+    # Padding segments keep the last real dst window (sortedness holds and
+    # their w=0 slots contribute nothing).
+    if n_seg_pad > n_seg and n_seg > 0:
+        seg_dw_rows[n_seg:] = seg_dw_rows[n_seg - 1]
+    return (seg_bs, seg_dw_rows,
+            e_src.reshape(n_seg_pad, chunk),
+            e_dst.reshape(n_seg_pad, chunk),
+            e_w.reshape(n_seg_pad, chunk), n_seg_pad)

@@ -71,8 +71,42 @@ def pair_chunks_from_scipy(
     chunk: int = 8,
     seg_per_mid: int = 16,
     mids_per_step: int = 8,
+    use_native: str = "auto",
 ) -> PairChunks:
-    """Pack a scipy sparse matrix into PairChunks (host-side, runs once)."""
+    """Pack a scipy sparse matrix into PairChunks (host-side, runs once).
+
+    ``use_native``: "auto" uses the C++ packer (ppnp_tpu.native) when its
+    shared library builds, "never" forces the numpy path, "require" errors
+    if the native path is unavailable. Both produce equivalent packings
+    (within-pair slot order may differ — mathematically irrelevant).
+    """
+    if use_native in ("auto", "require"):
+        from ppnp_tpu import native
+        csr = mat.tocsr()
+        csr.sum_duplicates()
+        packed = native.pack_pair_chunks_native(
+            csr, window, chunk, seg_per_mid, mids_per_step)
+        if packed is not None:
+            seg_bs, seg_dw_rows, e_src, e_dst, e_w, n_seg_pad = packed
+            n_rows, n_cols = csr.shape
+            mid = chunk * seg_per_mid
+            n_mid = n_seg_pad // seg_per_mid
+            mid_bd = seg_dw_rows.reshape(n_mid, seg_per_mid)[:, 0]
+            return PairChunks(
+                seg_bs=jnp.asarray(seg_bs),
+                mid_bd=jnp.asarray(mid_bd),
+                e_src=jnp.asarray(e_src.T.copy()),
+                e_w=jnp.asarray(e_w.T.copy()),
+                e_dst=jnp.asarray(e_dst.reshape(n_mid, mid)),
+                n_rows=n_rows,
+                n_rows_pad=round_up_to_multiple(n_rows, window),
+                n_cols_pad=round_up_to_multiple(n_cols, window),
+                window=window, chunk=chunk, seg_per_mid=seg_per_mid,
+                nnz=int(csr.nnz))
+        if use_native == "require":
+            raise RuntimeError("native packer unavailable "
+                               "(csrc build failed and use_native='require')")
+
     coo = mat.tocoo()
     coo.sum_duplicates()
     n_rows, n_cols = coo.shape

@@ -88,6 +88,7 @@ def train_model(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 500,
     resume: bool = False,
+    epoch_chunk: int = 10,
 ) -> Tuple[Any, Dict[str, Any]]:
     """Train PPNP/APPNP on a graph; returns (params, result_dict).
 
@@ -131,11 +132,17 @@ def train_model(
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
 
-    # One fused jitted call per epoch: optimizer step + stopping-set eval.
-    # (The reference does these as two separate forwards per epoch —
-    # SURVEY.md §3.1; fusing them halves per-epoch dispatch overhead.)
-    @jax.jit
-    def epoch_step(params, opt_state, key):
+    # Epoch-chunked training: `epoch_chunk` epochs run inside ONE jitted
+    # lax.scan call. Device dispatch costs ~0.4ms on this platform and the
+    # reference does one step per epoch (SURVEY.md §3.1), so per-epoch
+    # dispatch would dominate small-graph training. The best parameter
+    # snapshot (highest stopping acc, ties → lower loss — the reference's
+    # remember rule) is tracked ON DEVICE inside the scan so chunking
+    # never loses the exact best epoch.
+    def epoch_body(carry, key_epoch):
+        params, opt_state, best = carry
+        key, epoch = key_epoch
+
         def loss_fn(p):
             logp = ppnp_forward(p, x, propagator, idx_train, key=key,
                                 train=True, drop_prob=drop_prob)
@@ -148,13 +155,41 @@ def train_model(
         logp = ppnp_forward(params, x, propagator, idx_stop, train=False)
         stop_loss = _nll(logp, y_stop)
         stop_acc = jnp.mean(jnp.argmax(logp, axis=-1) == y_stop)
-        return params, opt_state, loss, stop_acc, stop_loss
+
+        best_params, best_acc, best_loss, best_epoch = best
+        improved = jnp.logical_or(
+            stop_acc > best_acc,
+            jnp.logical_and(stop_acc == best_acc, stop_loss < best_loss))
+        best = (
+            jax.tree.map(lambda b, p: jnp.where(improved, p, b),
+                         best_params, params),
+            jnp.where(improved, stop_acc, best_acc),
+            jnp.where(improved, stop_loss, best_loss),
+            jnp.where(improved, epoch, best_epoch),
+        )
+        return (params, opt_state, best), (loss, stop_acc, stop_loss)
+
+    @jax.jit
+    def run_chunk(params, opt_state, best, keys, epochs):
+        (params, opt_state, best), ms = jax.lax.scan(
+            epoch_body, (params, opt_state, best), (keys, epochs))
+        return params, opt_state, best, ms
+
+    def chunk_keys(e0, count):
+        epochs = jnp.arange(e0, e0 + count)
+        keys = jax.vmap(lambda e: jax.random.fold_in(key_epochs, e))(epochs)
+        return keys, epochs
+
+    def init_best(params):
+        return (params, jnp.float32(-jnp.inf), jnp.float32(jnp.inf),
+                jnp.int32(-1))
 
     early_stopping = EarlyStopping(
         stop_varnames=stop_args["stop_varnames"],
         patience=stop_args["patience"],
         max_epochs=max_epochs)
 
+    best = init_best(params)
     start_epoch = 0
     if resume and checkpoint_dir is not None:
         from ppnp_tpu import checkpoint as ckpt_mod
@@ -182,11 +217,13 @@ def train_model(
             early_stopping._best_loss = float(es["best_loss"])
             early_stopping.best_epoch = (int(es["best_epoch"])
                                          if es["best_epoch"] >= 0 else None)
-            early_stopping.best_state = jax.tree.map(
-                jnp.asarray, state["best_state"])
+            best = (jax.tree.map(jnp.asarray, state["best_state"]),
+                    jnp.float32(es["best_acc"]),
+                    jnp.float32(es["best_loss"]),
+                    jnp.int32(es["best_epoch"]))
             logger.info("resumed from epoch %d", start_epoch)
 
-    def _save(epoch):
+    def _save(epoch, params, opt_state, best):
         from ppnp_tpu import checkpoint as ckpt_mod
         ckpt_mod.save_checkpoint(checkpoint_dir, epoch, {
             "params": params,
@@ -195,48 +232,66 @@ def train_model(
             "early_stopping": {
                 "best_vals": np.asarray(early_stopping.best_vals),
                 "patience": early_stopping.patience,
-                "best_acc": early_stopping._best_acc,
-                "best_loss": early_stopping._best_loss,
-                "best_epoch": (early_stopping.best_epoch
-                               if early_stopping.best_epoch is not None
-                               else -1),
+                "best_acc": float(best[1]),
+                "best_loss": float(best[2]),
+                "best_epoch": int(best[3]),
             },
-            # Fall back to current params so the checkpoint tree shape is
-            # stable (restore maps onto a live target).
-            "best_state": (early_stopping.best_state
-                           if early_stopping.best_state is not None
-                           else params),
+            "best_state": best[0],
         })
 
-    last_epoch = start_epoch
-    for epoch in range(start_epoch, max_epochs):
-        last_epoch = epoch
-        key = jax.random.fold_in(key_epochs, epoch)
-        params, opt_state, train_loss, stop_acc, stop_loss = epoch_step(
-            params, opt_state, key)
-        stop_acc, stop_loss = float(stop_acc), float(stop_loss)
+    last_epoch = max(start_epoch - 1, 0)
+    stop = False
+    chunk_start = start_epoch
+    while chunk_start < max_epochs and not stop:
+        count = min(epoch_chunk, max_epochs - chunk_start)
+        pre = (params, opt_state, best)
+        keys, epochs = chunk_keys(chunk_start, count)
+        params, opt_state, best, ms = run_chunk(
+            params, opt_state, best, keys, epochs)
+        losses, accs, stop_losses = (np.asarray(m) for m in ms)
 
-        if metrics is not None:
-            metrics.write(event="epoch", epoch=epoch,
-                          train_loss=float(train_loss),
-                          stopping_accuracy=stop_acc,
-                          stopping_loss=stop_loss)
-        if print_interval and epoch % print_interval == 0:
-            logger.info(
-                "epoch %4d: train loss %.4f, stopping acc %.4f loss %.4f",
-                epoch, float(train_loss), stop_acc, stop_loss)
+        stop_at = None
+        for i in range(count):
+            epoch = chunk_start + i
+            last_epoch = epoch
+            if metrics is not None:
+                metrics.write(event="epoch", epoch=epoch,
+                              train_loss=float(losses[i]),
+                              stopping_accuracy=float(accs[i]),
+                              stopping_loss=float(stop_losses[i]))
+            if print_interval and epoch % print_interval == 0:
+                logger.info(
+                    "epoch %4d: train loss %.4f, stopping acc %.4f "
+                    "loss %.4f", epoch, float(losses[i]), float(accs[i]),
+                    float(stop_losses[i]))
+            if early_stopping.check([float(accs[i]), float(stop_losses[i])],
+                                    epoch):
+                stop_at = i
+                break
 
-        stop_now = early_stopping.check([stop_acc, stop_loss], epoch,
-                                        state=params)
+        if stop_at is not None:
+            stop = True
+            if stop_at < count - 1:
+                # Replay the partial chunk so the on-device best snapshot
+                # stops exactly at the stopping epoch (the reference never
+                # sees post-stop epochs — SURVEY.md §3.1).
+                params, opt_state, best = pre
+                keys, epochs = chunk_keys(chunk_start, stop_at + 1)
+                params, opt_state, best, _ = run_chunk(
+                    params, opt_state, best, keys, epochs)
         if checkpoint_dir is not None and (
-                stop_now or (epoch + 1) % checkpoint_every == 0):
-            _save(epoch)
-        if stop_now:
-            break
+                stop or (chunk_start // checkpoint_every)
+                != ((last_epoch + 1) // checkpoint_every)):
+            _save(last_epoch, params, opt_state, best)
+        chunk_start += count
 
     runtime = time.time() - t_start
-    if early_stopping.best_state is not None:
-        params = early_stopping.best_state  # restore best snapshot
+    best_params, _, _, best_epoch_dev = best
+    best_epoch = int(best_epoch_dev)
+    if best_epoch >= 0:
+        params = best_params  # restore best snapshot
+    else:
+        best_epoch = None
 
     # Final evaluation (eval mode) on all splits.
     preds = get_predictions(params, x, propagator)
@@ -254,7 +309,7 @@ def train_model(
         runtime=runtime,
         runtime_perepoch=runtime / max(nepochs, 1),
         last_epoch=last_epoch,
-        best_epoch=early_stopping.best_epoch,
+        best_epoch=best_epoch,
         predictions=preds,
     )
     if metrics is not None:
@@ -262,7 +317,7 @@ def train_model(
             k: v for k, v in result.items() if k != "predictions"})
     logger.info(
         "done: %d epochs (best %s), valtest acc %.4f f1 %.4f, %.1fs",
-        nepochs, early_stopping.best_epoch,
+        nepochs, best_epoch,
         result["valtest"]["accuracy"], result["valtest"]["f1_score"],
         runtime)
     return params, result

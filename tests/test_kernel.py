@@ -90,3 +90,25 @@ def test_power_iteration_pallas_backend_matches_xla(small_graph):
     with mock.patch.object(spmm_mod, "spmm_pair_chunks", interp_spmm):
         z = np.asarray(pallas_prop(h0, train=False))
     np.testing.assert_allclose(z, z_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_native_packer_matches_numpy():
+    """C++ ingest tier produces an equivalent packing (semantics checked
+    through the kernel; slot order within a pair may differ)."""
+    from ppnp_tpu import native
+    if not native.native_available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.RandomState(21)
+    a = sp.random(500, 500, density=0.02, random_state=rng, format="csr",
+                  dtype=np.float32)
+    h = rng.randn(500, 16).astype(np.float32)
+    pc_np = pair_chunks_from_scipy(a, use_native="never")
+    pc_cc = pair_chunks_from_scipy(a, use_native="require")
+    assert pc_np.n_seg == pc_cc.n_seg
+    assert pc_np.n_mid == pc_cc.n_mid
+    out_np = spmm_pair_chunks(pc_np, jnp.asarray(h), interpret=True)
+    out_cc = spmm_pair_chunks(pc_cc, jnp.asarray(h), interpret=True)
+    np.testing.assert_allclose(np.asarray(out_cc), np.asarray(out_np),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_cc), a @ h, rtol=1e-4,
+                               atol=1e-4)

@@ -99,3 +99,20 @@ def test_synthetic_sbm_shapes(small_graph):
     assert set(np.unique(g.labels)) <= {0, 1, 2, 3}
     assert not g.is_directed()
     assert not g.has_self_loops()
+
+
+def test_networkx_converter():
+    nx = pytest.importorskip("networkx")
+    from ppnp_tpu.data.io import networkx_to_sparsegraph
+    g = nx.Graph()
+    g.add_edges_from([(0, 1), (1, 2), (2, 0), (2, 3)])
+    for u in g.nodes:
+        g.nodes[u]["weight_attr"] = float(u)
+        g.nodes[u]["cls"] = "a" if u % 2 == 0 else "b"
+    sg = networkx_to_sparsegraph(g, label_name="cls")
+    assert sg.num_nodes() == 4
+    assert not sg.is_directed()
+    np.testing.assert_array_equal(sg.labels, [0, 1, 0, 1])
+    assert sg.attr_matrix.shape == (4, 1)
+    np.testing.assert_allclose(
+        np.asarray(sg.attr_matrix.todense()).ravel(), [0, 1, 2, 3])
