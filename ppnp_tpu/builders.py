@@ -46,10 +46,17 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
         return PPRExact(ppr=calc_ppr_exact(a_hat, alpha),
                         drop_prob=cfg.drop_prob)
     if cfg.propagation == "power":
-        pc = (pair_chunks_from_scipy(a_hat) if cfg.backend == "pallas"
-              else None)
+        pc = pc_t = perm = None
+        if cfg.backend == "pallas":
+            import jax.numpy as jnp
+            from ppnp_tpu.ops.pairchunks import (slot_permutation,
+                                                 transpose_pair)
+            pc = pair_chunks_from_scipy(a_hat)
+            pc_t = transpose_pair(a_hat)
+            perm = jnp.asarray(slot_permutation(pc, pc_t))
         return PPRPowerIteration(
             edges=edge_list_from_scipy(a_hat), pair_chunks=pc,
+            pair_chunks_t=pc_t, w_perm=perm,
             alpha=alpha, niter=cfg.niter, drop_prob=cfg.drop_prob,
             backend=cfg.backend)
     if cfg.propagation == "sharded":

@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ppnp_tpu.ops.pairchunks import PairChunks
 
-__all__ = ["spmm_pair_chunks"]
+__all__ = ["spmm_pair_chunks", "transfer_weights", "make_spmm_grad"]
 
 
 def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
@@ -132,3 +132,50 @@ def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
         interpret=interpret,
     )(pc.seg_bs, pc.mid_bd, pc.e_src, e_w, pc.e_dst, h)
     return out[:pc.n_rows]
+
+
+def transfer_weights(e_w: jnp.ndarray, perm: jnp.ndarray,
+                     chunk: int) -> jnp.ndarray:
+    """Move per-slot weights of a packing onto its transpose packing.
+
+    ``perm[t_slot]`` indexes the source packing's flat slot order
+    (seg-major) or is -1 for padding — see
+    ``ppnp_tpu.ops.pairchunks.slot_permutation``.
+    """
+    flat = e_w.T.reshape(-1)
+    vals = jnp.where(perm >= 0, jnp.take(flat, jnp.clip(perm, 0), axis=0),
+                     0.0)
+    n_seg_t = perm.shape[0] // chunk
+    return vals.reshape(n_seg_t, chunk).T
+
+
+def make_spmm_grad(pc: PairChunks, pc_t: PairChunks, perm: jnp.ndarray):
+    """Differentiable SpMM: forward through ``pc``, backward through the
+    transpose packing ``pc_t`` with the SAME (possibly dropout-masked)
+    edge weights — exactly torch autograd's Â_dropᵀ backward in the
+    reference (SURVEY.md §3.3).
+
+    Returns ``f(h, e_w) -> A_w @ h`` with a custom VJP. The edge-weight
+    cotangent is not propagated (Â is a fixed operator; dropout masks are
+    non-differentiable), matching the reference where Â requires no grad.
+    """
+
+    @jax.custom_vjp
+    def f(h, e_w):
+        return spmm_pair_chunks(pc, h, e_w)
+
+    def fwd(h, e_w):
+        return spmm_pair_chunks(pc, h, e_w), (e_w, h.shape[0])
+
+    def bwd(res, g):
+        e_w, h_rows = res
+        e_w_t = transfer_weights(e_w, perm, pc.chunk)
+        dh = spmm_pair_chunks(pc_t, g, e_w_t)  # (pc.n_cols, c)
+        if dh.shape[0] < h_rows:
+            dh = jnp.pad(dh, ((0, h_rows - dh.shape[0]), (0, 0)))
+        elif dh.shape[0] > h_rows:
+            dh = dh[:h_rows]
+        return dh, jnp.zeros_like(e_w)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -34,7 +34,8 @@ from flax import struct
 
 from ppnp_tpu.utils.padding import round_up_to_multiple
 
-__all__ = ["PairChunks", "pair_chunks_from_scipy"]
+__all__ = ["PairChunks", "pair_chunks_from_scipy", "transpose_pair",
+           "slot_permutation"]
 
 
 @struct.dataclass
@@ -202,7 +203,7 @@ def pair_chunks_from_scipy(
     mid_bd = seg_dw_rows.reshape(n_mid, seg_per_mid)[:, 0].astype(np.int32)
     e_dst = seg_dst.reshape(n_mid, mid).astype(np.int32)
 
-    return PairChunks(
+    return PairChunks(  # numpy path
         seg_bs=jnp.asarray(seg_bs),
         mid_bd=jnp.asarray(mid_bd),
         e_src=jnp.asarray(seg_src.T.copy()),
@@ -210,3 +211,49 @@ def pair_chunks_from_scipy(
         e_dst=jnp.asarray(e_dst),
         n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
         window=window, chunk=chunk, seg_per_mid=seg_per_mid, nnz=nnz)
+
+
+def transpose_pair(mat: sp.spmatrix, **kwargs) -> PairChunks:
+    """Pack Âᵀ (for the SpMM adjoint — the backward pass's operator)."""
+    return pair_chunks_from_scipy(mat.T.tocsr(), **kwargs)
+
+
+def _slot_coords(pc: PairChunks):
+    """Per-slot (row, col, valid) in flat slot order (seg-major, then
+    chunk position). Padding slots have w == 0."""
+    chunk, spm = pc.chunk, pc.seg_per_mid
+    e_src = np.asarray(pc.e_src).T.reshape(-1)               # (n_seg*chunk)
+    e_w = np.asarray(pc.e_w).T.reshape(-1)
+    e_dst = np.asarray(pc.e_dst).reshape(pc.n_seg, chunk).reshape(-1)
+    bs = np.repeat(np.asarray(pc.seg_bs), chunk)
+    bd = np.repeat(np.repeat(np.asarray(pc.mid_bd), spm), chunk)
+    rows = bd + e_dst
+    cols = bs + e_src
+    return rows, cols, e_w != 0
+
+
+def slot_permutation(pc: PairChunks, pc_t: PairChunks) -> np.ndarray:
+    """perm[t_slot] = source slot in ``pc`` carrying the same edge, or -1.
+
+    ``pc_t`` packs Âᵀ; its slot (r', c') is the original edge (c', r').
+    Used to transfer per-iteration dropout-masked weights onto the
+    transposed operator in the SpMM backward pass. Assumes no duplicate
+    coordinates (``sum_duplicates`` ran) and no true zero weights.
+    """
+    rows, cols, valid = _slot_coords(pc)
+    rows_t, cols_t, valid_t = _slot_coords(pc_t)
+    span = max(pc.n_cols_pad, pc_t.n_cols_pad, pc.n_rows_pad,
+               pc_t.n_rows_pad)
+    key = rows[valid].astype(np.int64) * span + cols[valid]
+    key_t = cols_t[valid_t].astype(np.int64) * span + rows_t[valid_t]
+    slot_ids = np.where(valid)[0]
+    order = np.argsort(key, kind="stable")
+    key_sorted = key[order]
+    pos = np.searchsorted(key_sorted, key_t)
+    if not (len(key) == len(key_t) and np.array_equal(key_sorted[pos],
+                                                      key_t)):
+        raise ValueError("pair chunk packings do not describe transposed "
+                         "matrices")
+    perm = np.full(len(rows_t), -1, dtype=np.int64)
+    perm[np.where(valid_t)[0]] = slot_ids[order][pos]
+    return perm

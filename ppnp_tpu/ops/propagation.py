@@ -74,7 +74,9 @@ class PPRPowerIteration:
     """
 
     edges: EdgeList
-    pair_chunks: Optional[object] = None  # PairChunks for backend="pallas"
+    pair_chunks: Optional[object] = None    # PairChunks, backend="pallas"
+    pair_chunks_t: Optional[object] = None  # transpose packing (backward)
+    w_perm: Optional[jnp.ndarray] = None    # slot perm pc→pc_t weights
     alpha: float = struct.field(pytree_node=False, default=0.1)
     niter: int = struct.field(pytree_node=False, default=10)
     drop_prob: float = struct.field(pytree_node=False, default=0.5)
@@ -91,22 +93,41 @@ class PPRPowerIteration:
         one_minus_alpha = 1.0 - self.alpha
         alpha_h0 = self.alpha * h0
 
+        use_pallas = self.backend == "pallas"
+        if use_pallas and self.pair_chunks_t is not None:
+            # Differentiable pallas SpMM: backward runs the transpose
+            # packing with the same (possibly masked) edge weights.
+            from ppnp_tpu.kernels.spmm import make_spmm_grad
+            spmm_fn = make_spmm_grad(self.pair_chunks, self.pair_chunks_t,
+                                     self.w_perm)
+        elif use_pallas:
+            from ppnp_tpu.kernels.spmm import spmm_pair_chunks
+            spmm_fn = lambda h, w: spmm_pair_chunks(  # noqa: E731
+                self.pair_chunks, h, w)
+
         if apply_drop:
             keys = jax.random.split(key, self.niter)
 
             def step(h, k):
-                w = edge_dropout(k, self.edges.w, self.drop_prob)
-                h = one_minus_alpha * spmm_edge_list(self.edges, h, w) \
-                    + alpha_h0
-                return h, None
+                if use_pallas:
+                    # Fresh per-iteration mask on the packed edge weights
+                    # (padding slots are 0 and stay 0 under any mask).
+                    w = edge_dropout(k, self.pair_chunks.e_w,
+                                     self.drop_prob)
+                    ah = spmm_fn(h, w)
+                else:
+                    w = edge_dropout(k, self.edges.w, self.drop_prob)
+                    ah = spmm_edge_list(self.edges, h, w)
+                return one_minus_alpha * ah + alpha_h0, None
 
             h, _ = jax.lax.scan(step, h0, keys)
         else:
             def step(h, _):
-                ah = spmm(self.edges, h, pair_chunks=self.pair_chunks,
-                          backend=self.backend)
-                h = one_minus_alpha * ah + alpha_h0
-                return h, None
+                if use_pallas:
+                    ah = spmm_fn(h, self.pair_chunks.e_w)
+                else:
+                    ah = spmm(self.edges, h, backend="xla")
+                return one_minus_alpha * ah + alpha_h0, None
 
             h, _ = jax.lax.scan(step, h0, None, length=self.niter)
         return h

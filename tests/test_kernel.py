@@ -112,3 +112,55 @@ def test_native_packer_matches_numpy():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_cc), a @ h, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_spmm_grad_transpose_packing():
+    """Custom VJP through the transpose packing matches the dense grad."""
+    import jax
+    import functools
+    from unittest import mock
+    from ppnp_tpu.kernels import spmm as spmm_mod
+    from ppnp_tpu.ops.pairchunks import slot_permutation, transpose_pair
+
+    rng = np.random.RandomState(31)
+    a = sp.random(300, 300, density=0.02, random_state=rng, format="csr",
+                  dtype=np.float32)
+    h0 = jnp.asarray(rng.randn(300, 8).astype(np.float32))
+    pc = pair_chunks_from_scipy(a)
+    pc_t = transpose_pair(a)
+    perm = jnp.asarray(slot_permutation(pc, pc_t))
+
+    interp = functools.partial(spmm_mod.spmm_pair_chunks, interpret=True)
+    with mock.patch.object(spmm_mod, "spmm_pair_chunks", interp):
+        f = spmm_mod.make_spmm_grad(pc, pc_t, perm)
+        g_pallas = jax.grad(lambda h: jnp.sum(f(h, pc.e_w) ** 2))(h0)
+    dense = jnp.asarray(a.toarray())
+
+    def loss_dense(h):
+        prod = jax.lax.dot(dense, h, precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(prod ** 2)
+
+    g_dense = jax.grad(loss_dense)(h0)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_dense),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_training_with_dropout(small_graph):
+    """End-to-end training through the pallas backend (interpret mode)."""
+    import functools
+    from unittest import mock
+    from ppnp_tpu.builders import build_propagator, train_kwargs
+    from ppnp_tpu.config import RunConfig
+    from ppnp_tpu.kernels import spmm as spmm_mod
+    from ppnp_tpu.train import train_model
+
+    cfg = RunConfig(propagation="power", backend="pallas", niter=3,
+                    max_epochs=8, patience=100, print_interval=0,
+                    ntrain_per_class=10, nstopping=40, nknown=150)
+    prop = build_propagator(cfg, small_graph)
+    interp = functools.partial(spmm_mod.spmm_pair_chunks, interpret=True)
+    with mock.patch.object(spmm_mod, "spmm_pair_chunks", interp):
+        _, res = train_model(small_graph, prop, epoch_chunk=4,
+                             **train_kwargs(cfg))
+    assert np.isfinite(res["early_stopping"]["accuracy"])
+    assert res["last_epoch"] == 7
