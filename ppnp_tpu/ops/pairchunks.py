@@ -121,6 +121,19 @@ def pair_chunks_from_scipy(
     dw = dst // window
     sw = src // window
 
+    if nnz == 0:  # degenerate: one all-padding midchunk block
+        mid = chunk * seg_per_mid
+        n_mid = mids_per_step
+        n_seg_pad = n_mid * seg_per_mid
+        return PairChunks(
+            seg_bs=jnp.zeros(n_seg_pad, jnp.int32),
+            mid_bd=jnp.zeros(n_mid, jnp.int32),
+            e_src=jnp.zeros((chunk, n_seg_pad), jnp.int32),
+            e_w=jnp.zeros((chunk, n_seg_pad), jnp.float32),
+            e_dst=jnp.zeros((n_mid, mid), jnp.int32),
+            n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
+            window=window, chunk=chunk, seg_per_mid=seg_per_mid, nnz=0)
+
     order = np.lexsort((src, sw, dw))
     dst, src, w, dw, sw = dst[order], src[order], w[order], dw[order], sw[order]
 

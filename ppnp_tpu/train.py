@@ -249,6 +249,13 @@ def train_model(
         params, opt_state, best, ms = run_chunk(
             params, opt_state, best, keys, epochs)
         losses, accs, stop_losses = (np.asarray(m) for m in ms)
+        # NaN guard (the purity/checkify analog of the reference's absent
+        # sanitizers — SURVEY.md §5): fail fast with the offending epoch.
+        if not np.isfinite(losses).all():
+            bad = int(np.where(~np.isfinite(losses))[0][0])
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {chunk_start + bad} "
+                f"(loss={losses[bad]}); check learning rate / inputs")
 
         stop_at = None
         for i in range(count):
