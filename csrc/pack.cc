@@ -26,10 +26,10 @@ extern "C" {
 // to a seg_per_mid multiple), BEFORE global mids_per_step padding.
 int64_t ppnp_pack_count(int64_t n_rows, int64_t n_cols,
                         const int64_t* indptr, const int32_t* indices,
-                        int32_t window, int32_t chunk,
+                        int32_t window, int32_t window_src, int32_t chunk,
                         int32_t seg_per_mid) {
   const int64_t n_wrows = ceil_div(n_rows, window);
-  const int64_t n_wcols = ceil_div(n_cols, window);
+  const int64_t n_wcols = ceil_div(n_cols, window_src);
   std::vector<int64_t> pair_count(n_wcols);
   int64_t total = 0;
   for (int64_t dw = 0; dw < n_wrows; ++dw) {
@@ -37,7 +37,7 @@ int64_t ppnp_pack_count(int64_t n_rows, int64_t n_cols,
     const int64_t r1 = std::min<int64_t>(n_rows, (dw + 1) * window);
     for (int64_t r = dw * window; r < r1; ++r)
       for (int64_t e = indptr[r]; e < indptr[r + 1]; ++e)
-        ++pair_count[indices[e] / window];
+        ++pair_count[indices[e] / window_src];
     int64_t segs = 0;
     for (int64_t sw = 0; sw < n_wcols; ++sw)
       segs += ceil_div(pair_count[sw], chunk);
@@ -57,11 +57,12 @@ int64_t ppnp_pack_count(int64_t n_rows, int64_t n_cols,
 int64_t ppnp_pack_fill(int64_t n_rows, int64_t n_cols,
                        const int64_t* indptr, const int32_t* indices,
                        const float* data,
-                       int32_t window, int32_t chunk, int32_t seg_per_mid,
+                       int32_t window, int32_t window_src, int32_t chunk,
+                       int32_t seg_per_mid,
                        int32_t* seg_bs, int32_t* seg_dw_rows,
                        int32_t* e_src, int32_t* e_dst, float* e_w) {
   const int64_t n_wrows = ceil_div(n_rows, window);
-  const int64_t n_wcols = ceil_div(n_cols, window);
+  const int64_t n_wcols = ceil_div(n_cols, window_src);
   std::vector<int64_t> pair_count(n_wcols), pair_seg0(n_wcols),
       pair_fill(n_wcols);
   int64_t seg_base = 0;  // first segment index of the current dst window
@@ -71,7 +72,7 @@ int64_t ppnp_pack_fill(int64_t n_rows, int64_t n_cols,
     const int64_t r1 = std::min<int64_t>(n_rows, r0 + window);
     for (int64_t r = r0; r < r1; ++r)
       for (int64_t e = indptr[r]; e < indptr[r + 1]; ++e)
-        ++pair_count[indices[e] / window];
+        ++pair_count[indices[e] / window_src];
 
     // Segment offsets per pair within this dst window.
     int64_t segs = 0;
@@ -90,17 +91,17 @@ int64_t ppnp_pack_fill(int64_t n_rows, int64_t n_cols,
     for (int64_t sw = 0; sw < n_wcols; ++sw) {
       const int64_t nseg_p = ceil_div(pair_count[sw], chunk);
       for (int64_t s = 0; s < nseg_p; ++s)
-        seg_bs[pair_seg0[sw] + s] = static_cast<int32_t>(sw * window);
+        seg_bs[pair_seg0[sw] + s] = static_cast<int32_t>(sw * window_src);
     }
 
     // Scatter edges into their pair's slots (row-major within the window,
     // which is a valid within-pair order).
     for (int64_t r = r0; r < r1; ++r) {
       for (int64_t e = indptr[r]; e < indptr[r + 1]; ++e) {
-        const int64_t sw = indices[e] / window;
+        const int64_t sw = indices[e] / window_src;
         const int64_t k = pair_fill[sw]++;
         const int64_t slot = (pair_seg0[sw] + k / chunk) * chunk + k % chunk;
-        e_src[slot] = static_cast<int32_t>(indices[e] % window);
+        e_src[slot] = static_cast<int32_t>(indices[e] % window_src);
         e_dst[slot] = static_cast<int32_t>(r - r0);
         e_w[slot] = data[e];
       }

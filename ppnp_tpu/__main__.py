@@ -97,10 +97,14 @@ def cmd_reproduce(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from ppnp_tpu.benchmarks import bench_propagation
-    res = bench_propagation(dataset=args.dataset, c=args.c,
-                            niter=args.niter, iters=args.iters,
-                            backends=args.backends)
+    from ppnp_tpu.benchmarks import bench_propagation, bench_scaling
+    if args.scaling:
+        res = bench_scaling(dataset=args.dataset, c=args.c,
+                            niter=args.niter, iters=args.iters)
+    else:
+        res = bench_propagation(dataset=args.dataset, c=args.c,
+                                niter=args.niter, iters=args.iters,
+                                backends=args.backends)
     print(json.dumps(res, indent=2, default=float))
     return 0
 
@@ -176,6 +180,8 @@ def main(argv=None) -> int:
     p.add_argument("--niter", type=int, default=10)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--backends", nargs="+", default=["xla", "pallas"])
+    p.add_argument("--scaling", action="store_true",
+                   help="strong-scaling sweep over the local mesh")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("retrieve", help="train + top-k retrieval demo")

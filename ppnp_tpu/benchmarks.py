@@ -99,3 +99,64 @@ def bench_propagation(
                     backend, 1 / step_s, step_s * 1e6,
                     100 * sol_step_s / step_s)
     return result
+
+
+def bench_scaling(
+    dataset: str = "pubmed",
+    c: int = 128,
+    niter: int = 10,
+    iters: int = 10,
+    n_shards_list: Optional[Sequence[int]] = None,
+    exchange: str = "alltoall",
+    seed: int = 0,
+) -> Dict:
+    """Strong-scaling of sharded propagation over the local device mesh.
+
+    BASELINE.json:5's ≥0.8 scaling-efficiency target needs a real multi-
+    chip pod; on a single chip this measures the n=1 degenerate case, and
+    on the CPU test mesh it validates the trend functionally. Efficiency
+    at n devices = steps_per_s(n) / (n · steps_per_s(1)).
+    """
+    from ppnp_tpu.parallel.mesh import make_mesh
+    from ppnp_tpu.parallel.partition import build_sharded_graph
+    from ppnp_tpu.parallel.sharded import ShardedPowerIteration
+
+    cfg = RunConfig(dataset=dataset)
+    graph = load_graph(cfg)
+    a_hat = calc_A_hat(graph.adj_matrix)
+    alpha = resolve_alpha(cfg)
+    rng = np.random.RandomState(seed)
+
+    if n_shards_list is None:
+        nd = jax.device_count()
+        n_shards_list = sorted({1, 2, nd} & set(range(1, nd + 1))) or [1]
+
+    result: Dict = {"dataset": dataset, "n": graph.num_nodes(),
+                    "nnz": int(a_hat.nnz), "c": c, "niter": niter,
+                    "exchange": exchange,
+                    "devices": [str(d) for d in jax.devices()],
+                    "shards": {}}
+    base_sps = None
+    for ns in n_shards_list:
+        if ns > jax.device_count():
+            continue
+        mesh = make_mesh(n_devices=ns)
+        sg = build_sharded_graph(a_hat, n_shards=ns)
+        prop = ShardedPowerIteration(graph=sg, mesh=mesh, alpha=alpha,
+                                     niter=niter, exchange=exchange)
+        h0 = jax.device_put(
+            jnp.asarray(rng.randn(sg.n_pad, c).astype(np.float32)),
+            prop.input_sharding())
+        f = jax.jit(lambda h, p=prop: p(h, train=False))
+        t = _time(f, h0, iters=iters)
+        sps = niter / t
+        if base_sps is None:
+            base_sps = sps
+        result["shards"][ns] = {
+            "steps_per_s": sps,
+            "boundary_rows": sg.boundary,
+            "efficiency": sps / (ns * base_sps),
+        }
+        logger.info("%d shards: %.0f steps/s (eff %.2f)", ns, sps,
+                    sps / (ns * base_sps))
+    return result

@@ -39,9 +39,9 @@ __all__ = ["spmm_pair_chunks", "transfer_weights", "make_spmm_grad"]
 
 def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
                  h_ref, out_ref, cbuf,
-                 *, window, chunk, seg_per_mid, mids_per_step):
+                 *, window, window_src, chunk, seg_per_mid, mids_per_step):
     mid = chunk * seg_per_mid
-    cols_e = jax.lax.broadcasted_iota(jnp.int32, (chunk, window), 1)
+    cols_e = jax.lax.broadcasted_iota(jnp.int32, (chunk, window_src), 1)
     rows_d = jax.lax.broadcasted_iota(jnp.int32, (window, mid), 0)
     pid = pl.program_id(0)
 
@@ -54,11 +54,11 @@ def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
         for j in range(seg_per_mid):  # static unroll
             s = m * seg_per_mid + j
             s_glob = m_glob * seg_per_mid + j
-            bs = pl.multiple_of(seg_bs_ref[s_glob], window)
+            bs = pl.multiple_of(seg_bs_ref[s_glob], window_src)
             src = e_src_ref[:, s:s + 1]           # (CHUNK, 1), static lane
             w = e_w_ref[:, s:s + 1]               # (CHUNK, 1)
-            e = jnp.where(cols_e == src, w, 0.0)  # (CHUNK, W)
-            hs = h_ref[pl.ds(bs, window), :]      # (W, c)
+            e = jnp.where(cols_e == src, w, 0.0)  # (CHUNK, W_src)
+            hs = h_ref[pl.ds(bs, window_src), :]  # (W_src, c)
             cm = jnp.dot(e, hs, preferred_element_type=jnp.float32)
             cbuf[j * chunk:(j + 1) * chunk, :] = cm
 
@@ -96,8 +96,8 @@ def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
 
     grid = (n_mid // mids_per_step,)
     kernel = functools.partial(
-        _spmm_kernel, window=window, chunk=chunk, seg_per_mid=spm,
-        mids_per_step=mids_per_step)
+        _spmm_kernel, window=window, window_src=pc.window_src, chunk=chunk,
+        seg_per_mid=spm, mids_per_step=mids_per_step)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # seg_bs, mid_bd live in SMEM, unblocked

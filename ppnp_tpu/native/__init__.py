@@ -53,11 +53,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.ppnp_pack_count.restype = ctypes.c_int64
     lib.ppnp_pack_count.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i64, i32,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
     lib.ppnp_pack_fill.restype = ctypes.c_int64
     lib.ppnp_pack_fill.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i64, i32, f32,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         i32, i32, i32, i32, f32]
     _LIB = lib
     return _LIB
@@ -69,6 +69,7 @@ def native_available() -> bool:
 
 def pack_pair_chunks_native(
     csr, window: int, chunk: int, seg_per_mid: int, mids_per_step: int,
+    window_src: Optional[int] = None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
                     np.ndarray, int]]:
     """C++ packing → (seg_bs, seg_dw_rows, e_src, e_dst, e_w, n_seg_pad)
@@ -77,13 +78,16 @@ def pack_pair_chunks_native(
     lib = get_lib()
     if lib is None:
         return None
+    if window_src is None:
+        window_src = window
     n_rows, n_cols = csr.shape
     indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)
     indices = np.ascontiguousarray(csr.indices, dtype=np.int32)
     data = np.ascontiguousarray(csr.data, dtype=np.float32)
 
     n_seg = int(lib.ppnp_pack_count(n_rows, n_cols, indptr, indices,
-                                    window, chunk, seg_per_mid))
+                                    window, window_src, chunk,
+                                    seg_per_mid))
     # Global padding: whole midchunks to a mids_per_step multiple.
     n_mid = max(-(-n_seg // seg_per_mid), 1)
     n_mid = -(-n_mid // mids_per_step) * mids_per_step
@@ -95,8 +99,8 @@ def pack_pair_chunks_native(
     e_dst = np.zeros(n_seg_pad * chunk, dtype=np.int32)
     e_w = np.zeros(n_seg_pad * chunk, dtype=np.float32)
     written = int(lib.ppnp_pack_fill(
-        n_rows, n_cols, indptr, indices, data, window, chunk, seg_per_mid,
-        seg_bs, seg_dw_rows, e_src, e_dst, e_w))
+        n_rows, n_cols, indptr, indices, data, window, window_src, chunk,
+        seg_per_mid, seg_bs, seg_dw_rows, e_src, e_dst, e_w))
     assert written == n_seg, (written, n_seg)
     # Padding segments keep the last real dst window (sortedness holds and
     # their w=0 slots contribute nothing).

@@ -48,7 +48,8 @@ class PairChunks:
     n_rows: int = struct.field(pytree_node=False)   # original rows
     n_rows_pad: int = struct.field(pytree_node=False)
     n_cols_pad: int = struct.field(pytree_node=False)
-    window: int = struct.field(pytree_node=False)
+    window: int = struct.field(pytree_node=False)       # dst window
+    window_src: int = struct.field(pytree_node=False)   # src window (E width)
     chunk: int = struct.field(pytree_node=False)
     seg_per_mid: int = struct.field(pytree_node=False)
     nnz: int = struct.field(pytree_node=False)
@@ -73,6 +74,7 @@ def pair_chunks_from_scipy(
     seg_per_mid: int = 16,
     mids_per_step: int = 8,
     use_native: str = "auto",
+    window_src: int = None,
 ) -> PairChunks:
     """Pack a scipy sparse matrix into PairChunks (host-side, runs once).
 
@@ -81,12 +83,15 @@ def pair_chunks_from_scipy(
     if the native path is unavailable. Both produce equivalent packings
     (within-pair slot order may differ — mathematically irrelevant).
     """
+    if window_src is None:
+        window_src = window
     if use_native in ("auto", "require"):
         from ppnp_tpu import native
         csr = mat.tocsr()
         csr.sum_duplicates()
         packed = native.pack_pair_chunks_native(
-            csr, window, chunk, seg_per_mid, mids_per_step)
+            csr, window, chunk, seg_per_mid, mids_per_step,
+            window_src=window_src)
         if packed is not None:
             seg_bs, seg_dw_rows, e_src, e_dst, e_w, n_seg_pad = packed
             n_rows, n_cols = csr.shape
@@ -101,9 +106,9 @@ def pair_chunks_from_scipy(
                 e_dst=jnp.asarray(e_dst.reshape(n_mid, mid)),
                 n_rows=n_rows,
                 n_rows_pad=round_up_to_multiple(n_rows, window),
-                n_cols_pad=round_up_to_multiple(n_cols, window),
-                window=window, chunk=chunk, seg_per_mid=seg_per_mid,
-                nnz=int(csr.nnz))
+                n_cols_pad=round_up_to_multiple(n_cols, window_src),
+                window=window, window_src=window_src, chunk=chunk,
+                seg_per_mid=seg_per_mid, nnz=int(csr.nnz))
         if use_native == "require":
             raise RuntimeError("native packer unavailable "
                                "(csrc build failed and use_native='require')")
@@ -112,14 +117,14 @@ def pair_chunks_from_scipy(
     coo.sum_duplicates()
     n_rows, n_cols = coo.shape
     n_rows_pad = round_up_to_multiple(n_rows, window)
-    n_cols_pad = round_up_to_multiple(n_cols, window)
+    n_cols_pad = round_up_to_multiple(n_cols, window_src)
     nnz = coo.nnz
 
     dst = coo.row.astype(np.int64)
     src = coo.col.astype(np.int64)
     w = coo.data.astype(np.float32)
     dw = dst // window
-    sw = src // window
+    sw = src // window_src
 
     if nnz == 0:  # degenerate: one all-padding midchunk block
         mid = chunk * seg_per_mid
@@ -132,13 +137,14 @@ def pair_chunks_from_scipy(
             e_w=jnp.zeros((chunk, n_seg_pad), jnp.float32),
             e_dst=jnp.zeros((n_mid, mid), jnp.int32),
             n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
-            window=window, chunk=chunk, seg_per_mid=seg_per_mid, nnz=0)
+            window=window, window_src=window_src, chunk=chunk,
+            seg_per_mid=seg_per_mid, nnz=0)
 
     order = np.lexsort((src, sw, dw))
     dst, src, w, dw, sw = dst[order], src[order], w[order], dw[order], sw[order]
 
     # --- pair-level padding to CHUNK (vectorized) ---------------------- #
-    pair_key = dw * (n_cols_pad // window) + sw
+    pair_key = dw * (n_cols_pad // window_src) + sw
     pair_change = np.concatenate([[True], pair_key[1:] != pair_key[:-1]])
     pair_start = np.where(pair_change)[0]
     pair_m = np.diff(np.append(pair_start, nnz))
@@ -152,7 +158,7 @@ def pair_chunks_from_scipy(
     slot_src = np.zeros(total_slots, dtype=np.int32)
     slot_dst = np.zeros(total_slots, dtype=np.int32)
     slot_w = np.zeros(total_slots, dtype=np.float32)
-    slot_src[slot_of_edge] = (src % window).astype(np.int32)
+    slot_src[slot_of_edge] = (src % window_src).astype(np.int32)
     slot_dst[slot_of_edge] = (dst % window).astype(np.int32)
     slot_w[slot_of_edge] = w
 
@@ -177,7 +183,7 @@ def pair_chunks_from_scipy(
         out_src.append(seg_src[start:start + count])
         out_dst.append(seg_dst[start:start + count])
         out_w.append(seg_w[start:start + count])
-        out_bs.append(seg_sw[start:start + count] * window)
+        out_bs.append(seg_sw[start:start + count] * window_src)
         out_dw.append(np.full(count + pad, d * window, dtype=np.int32))
         if pad:
             out_src.append(np.zeros((pad, chunk), dtype=np.int32))
@@ -223,7 +229,8 @@ def pair_chunks_from_scipy(
         e_w=jnp.asarray(seg_w.T.copy()),
         e_dst=jnp.asarray(e_dst),
         n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
-        window=window, chunk=chunk, seg_per_mid=seg_per_mid, nnz=nnz)
+        window=window, window_src=window_src, chunk=chunk,
+        seg_per_mid=seg_per_mid, nnz=nnz)
 
 
 def transpose_pair(mat: sp.spmatrix, **kwargs) -> PairChunks:

@@ -164,3 +164,15 @@ def test_pallas_training_with_dropout(small_graph):
                              **train_kwargs(cfg))
     assert np.isfinite(res["early_stopping"]["accuracy"])
     assert res["last_epoch"] == 7
+
+
+@pytest.mark.parametrize("window_src", [256, 512])
+def test_kernel_asymmetric_src_window(window_src):
+    rng = np.random.RandomState(41)
+    a = sp.random(700, 700, density=0.01, random_state=rng, format="csr",
+                  dtype=np.float32)
+    h = rng.randn(700, 32).astype(np.float32)
+    pc = pair_chunks_from_scipy(a, window_src=window_src)
+    assert pc.window_src == window_src
+    out = spmm_pair_chunks(pc, jnp.asarray(h), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), a @ h, rtol=1e-4, atol=1e-4)
