@@ -107,3 +107,25 @@ def test_graft_entry_single_device():
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_step_timer():
+    import time as _time
+    from ppnp_tpu.profiling import StepTimer
+    t = StepTimer(ema=0.5)
+    assert t.tick() is None  # first tick has no delta
+    _time.sleep(0.01)
+    dt = t.tick()
+    assert dt is not None and dt > 0
+    assert t.ema_step_s > 0
+    assert t.gbps(1_000_000) > 0
+
+
+def test_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+    from ppnp_tpu.profiling import annotate, trace
+    with trace(str(tmp_path / "prof")):
+        with annotate("smoke"):
+            jnp.ones((8, 8)).sum().block_until_ready()
+    # a trace directory materialized
+    assert any((tmp_path / "prof").rglob("*"))

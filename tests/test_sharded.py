@@ -97,3 +97,12 @@ def test_sharded_end_to_end_training(small_graph):
                         "nknown": 200, "seed": 11},
         stopping_args={"max_epochs": 60, "patience": 30})
     assert res["valtest"]["accuracy"] > 0.5
+
+
+def test_heartbeat_healthy_mesh():
+    from ppnp_tpu.parallel.health import assert_devices_healthy, heartbeat
+    from ppnp_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(n_devices=min(8, jax.device_count()))
+    elapsed = heartbeat(mesh)
+    assert elapsed < 60.0
+    assert_devices_healthy(mesh)
