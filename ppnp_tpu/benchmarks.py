@@ -78,7 +78,8 @@ def bench_propagation(
         "backends": {},
     }
     for backend in backends:
-        pc = pair_chunks_from_scipy(a_hat) if backend == "pallas" else None
+        pc = (pair_chunks_from_scipy(a_hat, reorder="rcm")
+              if backend == "pallas" else None)
         prop = PPRPowerIteration(edges=edges, pair_chunks=pc, alpha=alpha,
                                  niter=niter, backend=backend)
         f = jax.jit(lambda h, p=prop: p(h, train=False))

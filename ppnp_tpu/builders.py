@@ -48,11 +48,17 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
     if cfg.propagation == "power":
         pc = pc_t = perm = None
         if cfg.backend == "pallas":
+            import numpy as np
             import jax.numpy as jnp
             from ppnp_tpu.ops.pairchunks import (slot_permutation,
                                                  transpose_pair)
-            pc = pair_chunks_from_scipy(a_hat)
-            pc_t = transpose_pair(a_hat)
+            # Bandwidth-reducing reorder densifies window pairs (see
+            # ppnp_tpu.kernels.spmm); the same row permutation must be
+            # used for the forward and transpose packings.
+            pc = pair_chunks_from_scipy(a_hat, reorder="rcm")
+            row_perm = (np.asarray(pc.perm) if pc.perm is not None
+                        else None)
+            pc_t = transpose_pair(a_hat, perm=row_perm)
             perm = jnp.asarray(slot_permutation(pc, pc_t))
         return PPRPowerIteration(
             edges=edge_list_from_scipy(a_hat), pair_chunks=pc,

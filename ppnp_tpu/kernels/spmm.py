@@ -1,4 +1,4 @@
-"""Pallas TPU SpMM over PairChunks: out = A @ H with A sparse.
+"""Pallas TPU SpMM over PairChunks: out = A @ H (+ init) with A sparse.
 
 Reference analog: the ``Â_drop @ preds`` torch.sparse matmul at the heart
 of APPNP (ppnp/pytorch/propagation.py ~L45, SURVEY.md §3.3) — rebuilt for
@@ -18,6 +18,25 @@ the MXU instead of gather/scatter hardware:
   128-aligned dynamic lane offsets, so per-segment lane slices use static
   indices (the grid supplies the dynamic dimension).
 
+Measured design points (1× TPU v5e, MS Academic Â, c=128, in a 10-step
+scan so dispatch latency is hidden):
+
+- The kernel is **MXU-issue-bound**, not HBM-bound: each gather dot costs
+  ~15 cycles regardless of CHUNK (stationary-load + issue overhead), and
+  each scatter dot streams ``window`` rows per midchunk. Hence the tuned
+  defaults CHUNK=16 (halves the dot count vs 8 at modest padding cost)
+  and SEG_PER_MID=32 (MID=512: 4× fewer scatter dots), worth ~1.5× over
+  (8, 16).
+- Scalar-prefetch grid specs (``PrefetchScalarGridSpec``) cost ~5-8 µs
+  *per grid step* on this platform; the window-base arrays therefore live
+  as plain unblocked SMEM inputs instead.
+- ``init`` fuses the APPNP α-mix: ``out = A@H + init`` with
+  ``init = α·H⁰`` and (1-α) pre-folded into the edge weights makes the
+  whole power-iteration step a single kernel.
+- Bandwidth-reducing row reordering (RCM, see
+  ``ppnp_tpu.ops.pairchunks.pair_chunks_from_scipy(reorder=...)``)
+  densifies (dst,src)-window pairs and cuts padding slots ~7-30%.
+
 HBM traffic per call ≈ edge stream (~12B/edge-slot) + H load + out store —
 the speed-of-light bytes from BASELINE.md — with all per-edge work done as
 vectorized VPU compares and MXU matmuls (no scalar loops).
@@ -26,6 +45,7 @@ vectorized VPU compares and MXU matmuls (no scalar loops).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,23 +58,30 @@ __all__ = ["spmm_pair_chunks", "transfer_weights", "make_spmm_grad"]
 
 
 def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
-                 h_ref, out_ref, cbuf,
-                 *, window, window_src, chunk, seg_per_mid, mids_per_step):
+                 h_ref, *rest,
+                 window, window_src, chunk, seg_per_mid, mids_per_step,
+                 has_init):
+    if has_init:
+        init_ref, out_ref, cbuf = rest
+    else:
+        out_ref, cbuf = rest
     mid = chunk * seg_per_mid
+    sps = mids_per_step * seg_per_mid
     cols_e = jax.lax.broadcasted_iota(jnp.int32, (chunk, window_src), 1)
     rows_d = jax.lax.broadcasted_iota(jnp.int32, (window, mid), 0)
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        if has_init:
+            out_ref[:] = init_ref[:]
+        else:
+            out_ref[:] = jnp.zeros_like(out_ref)
 
     for m in range(mids_per_step):  # static unroll
-        m_glob = pid * mids_per_step + m
         for j in range(seg_per_mid):  # static unroll
             s = m * seg_per_mid + j
-            s_glob = m_glob * seg_per_mid + j
-            bs = pl.multiple_of(seg_bs_ref[s_glob], window_src)
+            bs = pl.multiple_of(seg_bs_ref[pid * sps + s], window_src)
             src = e_src_ref[:, s:s + 1]           # (CHUNK, 1), static lane
             w = e_w_ref[:, s:s + 1]               # (CHUNK, 1)
             e = jnp.where(cols_e == src, w, 0.0)  # (CHUNK, W_src)
@@ -62,7 +89,7 @@ def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
             cm = jnp.dot(e, hs, preferred_element_type=jnp.float32)
             cbuf[j * chunk:(j + 1) * chunk, :] = cm
 
-        bd = pl.multiple_of(mid_bd_ref[m_glob], window)
+        bd = pl.multiple_of(mid_bd_ref[pid * mids_per_step + m], window)
         dloc = e_dst_ref[m:m + 1, :]              # (1, MID), static sublane
         d_t = jnp.where(rows_d == dloc, 1.0, 0.0)  # (W, MID)
         contrib = jnp.dot(d_t, cbuf[:],
@@ -70,68 +97,101 @@ def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
         out_ref[pl.ds(bd, window), :] += contrib
 
 
-@functools.partial(jax.jit, static_argnames=("mids_per_step", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("mids_per_step", "interpret",
+                                    "assume_permuted", "keep_padded"))
 def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
-                     e_w: jnp.ndarray | None = None,
-                     mids_per_step: int = 8,
-                     interpret: bool = False) -> jnp.ndarray:
-    """A @ H through the Pallas kernel. Returns (n_rows, c) unpadded.
+                     e_w: Optional[jnp.ndarray] = None,
+                     init: Optional[jnp.ndarray] = None,
+                     mids_per_step: Optional[int] = None,
+                     interpret: bool = False,
+                     assume_permuted: bool = False,
+                     keep_padded: bool = False) -> jnp.ndarray:
+    """``A @ H (+ init)`` through the Pallas kernel.
 
-    ``e_w`` optionally overrides the packed edge weights (same
-    (CHUNK, n_seg) layout) — used for per-iteration edge dropout.
+    - ``e_w`` optionally overrides the packed edge weights (same
+      (CHUNK, n_seg) layout) — used for per-iteration edge dropout and
+      for folding the APPNP (1-α) scale into the operator.
+    - ``init`` optionally seeds the output accumulator (fused α·H⁰ mix);
+      shape (n_rows, c) or already padded to (n_rows_pad, c).
+    - If the packing was built with a row reordering (``pc.perm``),
+      ``h``/``init`` are permuted on entry and the result is restored to
+      original row order — unless ``assume_permuted`` (hot loops keep all
+      operands in packed order and permute once outside).
+    - ``keep_padded`` returns the full (n_rows_pad, c) accumulator
+      (useful when the caller chains steps on padded square operands).
     """
     if e_w is None:
         e_w = pc.e_w
+    if mids_per_step is None:
+        mids_per_step = pc.mids_per_step
+    if pc.perm is not None and not assume_permuted:
+        h = jnp.take(h, pc.perm, axis=0)
+        if init is not None:
+            init = jnp.take(init, pc.perm, axis=0)
     window, chunk, spm = pc.window, pc.chunk, pc.seg_per_mid
     mid = pc.mid
     n_mid = pc.n_mid
     if n_mid % mids_per_step:
         raise ValueError(f"n_mid={n_mid} not divisible by "
                          f"mids_per_step={mids_per_step}")
-    segs_per_step = mids_per_step * spm
+    sps = mids_per_step * spm
     c = h.shape[1]
-    # H padded to the column grid of A.
+    # H (and init) padded to the row/col grid of A.
     if h.shape[0] < pc.n_cols_pad:
         h = jnp.pad(h, ((0, pc.n_cols_pad - h.shape[0]), (0, 0)))
+    has_init = init is not None
+    if has_init and init.shape[0] < pc.n_rows_pad:
+        init = jnp.pad(init, ((0, pc.n_rows_pad - init.shape[0]), (0, 0)))
 
     grid = (n_mid // mids_per_step,)
     kernel = functools.partial(
         _spmm_kernel, window=window, window_src=pc.window_src, chunk=chunk,
-        seg_per_mid=spm, mids_per_step=mids_per_step)
+        seg_per_mid=spm, mids_per_step=mids_per_step, has_init=has_init)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # seg_bs, mid_bd live in SMEM, unblocked
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((chunk, segs_per_step), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, segs_per_step), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mids_per_step, mid), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pc.n_cols_pad, c), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((pc.n_rows_pad, c), lambda i, *_: (0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((mid, c), jnp.float32)],
-    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # seg_bs, unblocked
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # mid_bd, unblocked
+        pl.BlockSpec((chunk, sps), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),   # e_src
+        pl.BlockSpec((chunk, sps), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),   # e_w
+        pl.BlockSpec((mids_per_step, mid), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),   # e_dst
+        pl.BlockSpec((pc.n_cols_pad, c), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),   # H, resident
+    ]
+    args = [pc.seg_bs, pc.mid_bd, pc.e_src, e_w, pc.e_dst, h]
+    if has_init:
+        in_specs.append(pl.BlockSpec((pc.n_rows_pad, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(init)
+
     out = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((pc.n_rows_pad, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pc.n_rows_pad, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((mid, c), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            # H and out are both fully VMEM-resident; the default scoped
-            # limit is 16MB but v5e has 128MB of VMEM.
+            # H, init and out are all fully VMEM-resident; the default
+            # scoped limit is 16MB but v5e has 128MB of VMEM.
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=4 * pc.n_seg * chunk * window * c,
+            flops=2 * pc.n_seg * chunk * (pc.window_src + window) * c,
             bytes_accessed=(pc.n_seg * chunk * 12 + pc.n_cols_pad * c * 4
                             + pc.n_rows_pad * c * 4),
             transcendentals=0),
         interpret=interpret,
-    )(pc.seg_bs, pc.mid_bd, pc.e_src, e_w, pc.e_dst, h)
-    return out[:pc.n_rows]
+    )(*args)
+    if pc.perm is not None and not assume_permuted:
+        out = jnp.take(out[:pc.n_rows], pc.iperm, axis=0)
+        if keep_padded:
+            out = jnp.pad(out, ((0, pc.n_rows_pad - pc.n_rows), (0, 0)))
+        return out
+    return out if keep_padded else out[:pc.n_rows]
 
 
 def transfer_weights(e_w: jnp.ndarray, perm: jnp.ndarray,
@@ -149,33 +209,52 @@ def transfer_weights(e_w: jnp.ndarray, perm: jnp.ndarray,
     return vals.reshape(n_seg_t, chunk).T
 
 
-def make_spmm_grad(pc: PairChunks, pc_t: PairChunks, perm: jnp.ndarray):
+def make_spmm_grad(pc: PairChunks, pc_t: PairChunks, perm: jnp.ndarray,
+                   keep_padded: bool = False):
     """Differentiable SpMM: forward through ``pc``, backward through the
     transpose packing ``pc_t`` with the SAME (possibly dropout-masked)
     edge weights — exactly torch autograd's Â_dropᵀ backward in the
     reference (SURVEY.md §3.3).
 
-    Returns ``f(h, e_w) -> A_w @ h`` with a custom VJP. The edge-weight
-    cotangent is not propagated (Â is a fixed operator; dropout masks are
-    non-differentiable), matching the reference where Â requires no grad.
+    Returns ``f(h, e_w, init) -> A_w @ h + init`` with a custom VJP
+    (pass ``init=None`` for a plain SpMM). When the packings carry a row
+    reordering the function operates entirely in PACKED row order
+    (``assume_permuted``): callers permute once outside their loop. The
+    edge-weight cotangent is not propagated (Â is a fixed operator;
+    dropout masks are non-differentiable), matching the reference where
+    Â requires no grad; the ``init`` cotangent is the output cotangent.
     """
 
-    @jax.custom_vjp
-    def f(h, e_w):
-        return spmm_pair_chunks(pc, h, e_w)
+    call = functools.partial(spmm_pair_chunks, assume_permuted=True,
+                             keep_padded=keep_padded)
 
-    def fwd(h, e_w):
-        return spmm_pair_chunks(pc, h, e_w), (e_w, h.shape[0])
+    @jax.custom_vjp
+    def f(h, e_w, init):
+        return call(pc, h, e_w, init)
+
+    def fwd(h, e_w, init):
+        return call(pc, h, e_w, init), (e_w, h.shape[0],
+                                        None if init is None
+                                        else init.shape[0])
 
     def bwd(res, g):
-        e_w, h_rows = res
+        e_w, h_rows, init_rows = res
         e_w_t = transfer_weights(e_w, perm, pc.chunk)
-        dh = spmm_pair_chunks(pc_t, g, e_w_t)  # (pc.n_cols, c)
+        dh = call(pc_t, g, e_w_t, None)  # (pc.n_cols[, pad], c)
         if dh.shape[0] < h_rows:
             dh = jnp.pad(dh, ((0, h_rows - dh.shape[0]), (0, 0)))
         elif dh.shape[0] > h_rows:
             dh = dh[:h_rows]
-        return dh, jnp.zeros_like(e_w)
+        dinit = None
+        if init_rows is not None:
+            dinit = g if g.shape[0] == init_rows else (
+                jnp.pad(g, ((0, init_rows - g.shape[0]), (0, 0)))
+                if g.shape[0] < init_rows else g[:init_rows])
+        return dh, jnp.zeros_like(e_w), dinit
 
     f.defvjp(fwd, bwd)
-    return f
+
+    def wrapper(h, e_w, init=None):
+        return f(h, e_w, init)
+
+    return wrapper

@@ -22,10 +22,21 @@ with zero per-edge scalar loops. Layout:
   dst window) so the scatter matmul runs once per MID edges;
 - per-segment arrays are stored pre-transposed — (CHUNK, n_seg) — so the
   kernel's per-segment slice is a natural (CHUNK, 1) sublane vector;
-- padding slots carry w = 0 (they multiply to zero wherever they land).
+- padding slots carry w = 0 (they multiply to zero wherever they land);
+- optionally the matrix is packed under a bandwidth-reducing row/col
+  permutation (reverse Cuthill-McKee): clustering edges near the diagonal
+  densifies (dst-window, src-window) pairs and cuts padding slots. The
+  permutation is stored on the packing (``perm``/``iperm``); the kernel
+  wrapper applies it transparently, and hot loops apply it once outside.
+
+Geometry defaults (CHUNK=16, SEG_PER_MID=32, MIDS_PER_STEP=16) are tuned
+on TPU v5e where the kernel is MXU-issue-bound — see the measured design
+notes in ``ppnp_tpu.kernels.spmm``.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -35,7 +46,7 @@ from flax import struct
 from ppnp_tpu.utils.padding import round_up_to_multiple
 
 __all__ = ["PairChunks", "pair_chunks_from_scipy", "transpose_pair",
-           "slot_permutation"]
+           "slot_permutation", "rcm_permutation"]
 
 
 @struct.dataclass
@@ -53,6 +64,11 @@ class PairChunks:
     chunk: int = struct.field(pytree_node=False)
     seg_per_mid: int = struct.field(pytree_node=False)
     nnz: int = struct.field(pytree_node=False)
+    mids_per_step: int = struct.field(pytree_node=False, default=16)
+    # Row/col reordering under which the matrix was packed (None = packed
+    # in original order). perm maps packed row -> original row.
+    perm: Optional[jnp.ndarray] = None    # int32 [n_rows] or None
+    iperm: Optional[jnp.ndarray] = None   # int32 [n_rows] or None
 
     @property
     def n_seg(self) -> int:
@@ -67,14 +83,23 @@ class PairChunks:
         return self.chunk * self.seg_per_mid
 
 
+def rcm_permutation(mat: sp.spmatrix) -> np.ndarray:
+    """Bandwidth-reducing reverse Cuthill-McKee row/col permutation."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    return np.asarray(reverse_cuthill_mckee(mat.tocsr(),
+                                            symmetric_mode=True))
+
+
 def pair_chunks_from_scipy(
     mat: sp.spmatrix,
     window: int = 128,
-    chunk: int = 8,
-    seg_per_mid: int = 16,
-    mids_per_step: int = 8,
+    chunk: int = 16,
+    seg_per_mid: int = 32,
+    mids_per_step: int = 16,
     use_native: str = "auto",
     window_src: int = None,
+    reorder: Optional[str] = None,
+    perm: Optional[np.ndarray] = None,
 ) -> PairChunks:
     """Pack a scipy sparse matrix into PairChunks (host-side, runs once).
 
@@ -82,9 +107,31 @@ def pair_chunks_from_scipy(
     shared library builds, "never" forces the numpy path, "require" errors
     if the native path is unavailable. Both produce equivalent packings
     (within-pair slot order may differ — mathematically irrelevant).
+
+    ``reorder="rcm"`` packs the matrix under a reverse Cuthill-McKee
+    row/col permutation (square matrices only) — see module docstring;
+    ``perm`` supplies an explicit permutation instead (packed row i is
+    original row ``perm[i]``). The stored ``perm``/``iperm`` let the
+    kernel wrapper map operands between original and packed order.
     """
     if window_src is None:
         window_src = window
+    if reorder is not None and perm is None:
+        if reorder != "rcm":
+            raise ValueError(f"unknown reorder {reorder!r}")
+        if mat.shape[0] != mat.shape[1]:
+            raise ValueError("reorder requires a square matrix")
+        perm = rcm_permutation(mat)
+    perm_arrays = {}
+    if perm is not None:
+        perm = np.asarray(perm)
+        if mat.shape[0] != mat.shape[1]:
+            raise ValueError("perm packing requires a square matrix")
+        mat = mat.tocsr()[perm][:, perm]
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(len(perm))
+        perm_arrays = {"perm": jnp.asarray(perm, jnp.int32),
+                       "iperm": jnp.asarray(iperm, jnp.int32)}
     if use_native in ("auto", "require"):
         from ppnp_tpu import native
         csr = mat.tocsr()
@@ -108,7 +155,8 @@ def pair_chunks_from_scipy(
                 n_rows_pad=round_up_to_multiple(n_rows, window),
                 n_cols_pad=round_up_to_multiple(n_cols, window_src),
                 window=window, window_src=window_src, chunk=chunk,
-                seg_per_mid=seg_per_mid, nnz=int(csr.nnz))
+                seg_per_mid=seg_per_mid, nnz=int(csr.nnz),
+                mids_per_step=mids_per_step, **perm_arrays)
         if use_native == "require":
             raise RuntimeError("native packer unavailable "
                                "(csrc build failed and use_native='require')")
@@ -138,7 +186,8 @@ def pair_chunks_from_scipy(
             e_dst=jnp.zeros((n_mid, mid), jnp.int32),
             n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
             window=window, window_src=window_src, chunk=chunk,
-            seg_per_mid=seg_per_mid, nnz=0)
+            seg_per_mid=seg_per_mid, nnz=0,
+            mids_per_step=mids_per_step, **perm_arrays)
 
     order = np.lexsort((src, sw, dw))
     dst, src, w, dw, sw = dst[order], src[order], w[order], dw[order], sw[order]
@@ -230,7 +279,8 @@ def pair_chunks_from_scipy(
         e_dst=jnp.asarray(e_dst),
         n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
         window=window, window_src=window_src, chunk=chunk,
-        seg_per_mid=seg_per_mid, nnz=nnz)
+        seg_per_mid=seg_per_mid, nnz=nnz,
+        mids_per_step=mids_per_step, **perm_arrays)
 
 
 def transpose_pair(mat: sp.spmatrix, **kwargs) -> PairChunks:

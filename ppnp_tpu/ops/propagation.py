@@ -91,46 +91,87 @@ class PPRPowerIteration:
         """Run K power-iteration steps over all n rows of ``h0``."""
         apply_drop = bool(train and self.drop_prob > 0.0 and key is not None)
         one_minus_alpha = 1.0 - self.alpha
+
+        if self.backend == "pallas":
+            return self._propagate_pallas(h0, key=key, apply_drop=apply_drop)
+
         alpha_h0 = self.alpha * h0
-
-        use_pallas = self.backend == "pallas"
-        if use_pallas and self.pair_chunks_t is not None:
-            # Differentiable pallas SpMM: backward runs the transpose
-            # packing with the same (possibly masked) edge weights.
-            from ppnp_tpu.kernels.spmm import make_spmm_grad
-            spmm_fn = make_spmm_grad(self.pair_chunks, self.pair_chunks_t,
-                                     self.w_perm)
-        elif use_pallas:
-            from ppnp_tpu.kernels.spmm import spmm_pair_chunks
-            spmm_fn = lambda h, w: spmm_pair_chunks(  # noqa: E731
-                self.pair_chunks, h, w)
-
         if apply_drop:
             keys = jax.random.split(key, self.niter)
 
             def step(h, k):
-                if use_pallas:
-                    # Fresh per-iteration mask on the packed edge weights
-                    # (padding slots are 0 and stay 0 under any mask).
-                    w = edge_dropout(k, self.pair_chunks.e_w,
-                                     self.drop_prob)
-                    ah = spmm_fn(h, w)
-                else:
-                    w = edge_dropout(k, self.edges.w, self.drop_prob)
-                    ah = spmm_edge_list(self.edges, h, w)
+                w = edge_dropout(k, self.edges.w, self.drop_prob)
+                ah = spmm_edge_list(self.edges, h, w)
                 return one_minus_alpha * ah + alpha_h0, None
 
             h, _ = jax.lax.scan(step, h0, keys)
         else:
             def step(h, _):
-                if use_pallas:
-                    ah = spmm_fn(h, self.pair_chunks.e_w)
-                else:
-                    ah = spmm(self.edges, h, backend="xla")
+                ah = spmm(self.edges, h, backend="xla")
                 return one_minus_alpha * ah + alpha_h0, None
 
             h, _ = jax.lax.scan(step, h0, None, length=self.niter)
         return h
+
+    def _propagate_pallas(self, h0: jnp.ndarray, *, key, apply_drop):
+        """Pallas path: each power-iteration step is ONE fused kernel.
+
+        ``out = A_w @ H + α·H⁰`` with (1-α) folded into the edge weights
+        and α·H⁰ seeding the output accumulator inside the kernel (no
+        separate XLA mix op). The scan carries the row-padded, packing-
+        ordered H; the packing's row permutation (if any) and padding are
+        applied once outside the loop.
+        """
+        pc = self.pair_chunks
+        one_minus_alpha = 1.0 - self.alpha
+        n = h0.shape[0]
+
+        if pc.perm is not None:
+            hp = jnp.take(h0, pc.perm, axis=0)
+        else:
+            hp = h0
+        if pc.n_rows_pad != pc.n_cols_pad:
+            raise ValueError("pallas propagation requires a square packing")
+        hp = jnp.pad(hp, ((0, pc.n_rows_pad - n), (0, 0)))
+        init = self.alpha * hp  # α·H⁰, padded, packed order
+
+        if self.pair_chunks_t is not None:
+            # Differentiable pallas SpMM: backward runs the transpose
+            # packing with the same (possibly masked) edge weights.
+            from ppnp_tpu.kernels.spmm import make_spmm_grad
+            spmm_fn = make_spmm_grad(pc, self.pair_chunks_t, self.w_perm,
+                                     keep_padded=True)
+        else:
+            from ppnp_tpu.kernels.spmm import spmm_pair_chunks
+
+            def spmm_fn(h, w, init):
+                return spmm_pair_chunks(pc, h, w, init=init,
+                                        assume_permuted=True,
+                                        keep_padded=True)
+
+        if apply_drop:
+            keys = jax.random.split(key, self.niter)
+
+            def step(h, k):
+                # Fresh per-iteration mask on the packed edge weights
+                # (padding slots are 0 and stay 0 under any mask).
+                w = one_minus_alpha * edge_dropout(k, pc.e_w,
+                                                   self.drop_prob)
+                return spmm_fn(h, w, init), None
+
+            hp, _ = jax.lax.scan(step, hp, keys)
+        else:
+            w_scaled = one_minus_alpha * pc.e_w
+
+            def step(h, _):
+                return spmm_fn(h, w_scaled, init), None
+
+            hp, _ = jax.lax.scan(step, hp, None, length=self.niter)
+
+        hp = hp[:n]
+        if pc.iperm is not None:
+            hp = jnp.take(hp, pc.iperm, axis=0)
+        return hp
 
     def __call__(self, h_local: jnp.ndarray, idx: Optional[jnp.ndarray] = None,
                  *, key: Optional[jax.Array] = None,

@@ -176,3 +176,76 @@ def test_kernel_asymmetric_src_window(window_src):
     assert pc.window_src == window_src
     out = spmm_pair_chunks(pc, jnp.asarray(h), interpret=True)
     np.testing.assert_allclose(np.asarray(out), a @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_fused_init():
+    """out = A@H + init (the fused APPNP α-mix accumulator seed)."""
+    rng = np.random.RandomState(7)
+    a = sp.random(300, 300, density=0.02, random_state=rng, format="csr",
+                  dtype=np.float32)
+    h = rng.randn(300, 16).astype(np.float32)
+    init = rng.randn(300, 16).astype(np.float32)
+    pc = pair_chunks_from_scipy(a)
+    out = spmm_pair_chunks(pc, jnp.asarray(h), init=jnp.asarray(init),
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(out), a @ h + init,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_reordered_transparent():
+    """A packing built under an RCM permutation gives results in the
+    ORIGINAL row order through the default wrapper path."""
+    rng = np.random.RandomState(11)
+    a = sp.random(400, 400, density=0.02, random_state=rng, format="csr",
+                  dtype=np.float32)
+    a = a + a.T  # symmetric for symmetric_mode RCM
+    h = rng.randn(400, 8).astype(np.float32)
+    pc = pair_chunks_from_scipy(a, reorder="rcm")
+    assert pc.perm is not None and pc.iperm is not None
+    out = spmm_pair_chunks(pc, jnp.asarray(h), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), a @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_reordered_assume_permuted():
+    """Hot-loop contract: operands already in packed order."""
+    rng = np.random.RandomState(13)
+    a = sp.random(256, 256, density=0.03, random_state=rng, format="csr",
+                  dtype=np.float32)
+    a = a + a.T
+    h = rng.randn(256, 8).astype(np.float32)
+    pc = pair_chunks_from_scipy(a, reorder="rcm")
+    p = np.asarray(pc.perm)
+    out = spmm_pair_chunks(pc, jnp.asarray(h[p]), interpret=True,
+                           assume_permuted=True)
+    np.testing.assert_allclose(np.asarray(out), (a @ h)[p],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_propagation_pallas_reordered_matches_xla(small_graph):
+    """Full K-step pallas propagation under RCM reorder + fused α-mix
+    matches the XLA backend (eval mode)."""
+    import functools
+    from unittest import mock
+    from ppnp_tpu.kernels import spmm as spmm_mod
+    from ppnp_tpu.ops.pairchunks import slot_permutation, transpose_pair
+
+    a_hat = calc_A_hat(small_graph.adj_matrix)
+    edges = edge_list_from_scipy(a_hat)
+    pc = pair_chunks_from_scipy(a_hat, reorder="rcm")
+    pc_t = transpose_pair(a_hat, perm=np.asarray(pc.perm))
+    w_perm = jnp.asarray(slot_permutation(pc, pc_t))
+
+    rng = np.random.RandomState(3)
+    h0 = jnp.asarray(rng.randn(small_graph.num_nodes(), 6)
+                     .astype(np.float32))
+    prop_x = PPRPowerIteration(edges=edges, alpha=0.15, niter=4,
+                               backend="xla")
+    prop_p = PPRPowerIteration(edges=edges, pair_chunks=pc,
+                               pair_chunks_t=pc_t, w_perm=w_perm,
+                               alpha=0.15, niter=4, backend="pallas")
+    interp = functools.partial(spmm_mod.spmm_pair_chunks, interpret=True)
+    with mock.patch.object(spmm_mod, "spmm_pair_chunks", interp):
+        out_p = prop_p(h0, train=False)
+    out_x = prop_x(h0, train=False)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-4)
