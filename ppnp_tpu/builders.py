@@ -67,16 +67,22 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
             backend=cfg.backend)
     if cfg.propagation == "sharded":
         from ppnp_tpu.parallel.mesh import make_mesh
-        from ppnp_tpu.parallel.partition import build_sharded_graph
+        from ppnp_tpu.parallel.partition import (build_sharded_graph,
+                                                 build_sharded_pair_chunks)
         from ppnp_tpu.parallel.sharded import ShardedPowerIteration
         n_shards = cfg.n_shards or jax.device_count()
         mesh = make_mesh(n_devices=n_shards)
         sg = build_sharded_graph(a_hat, n_shards=n_shards)
         logger.info("sharded over %d devices: S=%d B=%d E=%d",
                     n_shards, sg.shard_rows, sg.boundary, sg.edges_pad)
+        pc = pc_t = w_perm = None
+        if cfg.backend == "pallas":
+            pc, pc_t, w_perm = build_sharded_pair_chunks(sg)
         return ShardedPowerIteration(
-            graph=sg, mesh=mesh, alpha=alpha, niter=cfg.niter,
-            drop_prob=cfg.drop_prob, exchange=cfg.exchange)
+            graph=sg, mesh=mesh, pair_chunks=pc, pair_chunks_t=pc_t,
+            w_perm=w_perm, alpha=alpha, niter=cfg.niter,
+            drop_prob=cfg.drop_prob, exchange=cfg.exchange,
+            backend=cfg.backend)
     raise ValueError(f"unknown propagation {cfg.propagation!r}")
 
 

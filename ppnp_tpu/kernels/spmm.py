@@ -209,6 +209,58 @@ def transfer_weights(e_w: jnp.ndarray, perm: jnp.ndarray,
     return vals.reshape(n_seg_t, chunk).T
 
 
+def _zero_cotangent(x):
+    """Cotangent for a non-differentiated array arg (float0 for ints)."""
+    import numpy as np
+    from jax import dtypes
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _spmm_vjp(h, e_w, init, pc, pc_t, w_perm, keep_padded):
+    """``A_w @ h (+ init)`` with backward through the transpose packing.
+
+    Module-level custom_vjp: the packings are explicit pytree ARGS (not
+    closure captures) so the operator can ride through jit boundaries as
+    an argument — closures over traced arrays inside a custom_vjp leak
+    tracers into the lowered jaxpr.
+    """
+    return spmm_pair_chunks(pc, h, e_w, init, assume_permuted=True,
+                            keep_padded=keep_padded)
+
+
+def _spmm_vjp_fwd(h, e_w, init, pc, pc_t, w_perm, keep_padded):
+    out = spmm_pair_chunks(pc, h, e_w, init, assume_permuted=True,
+                           keep_padded=keep_padded)
+    return out, (e_w, pc, pc_t, w_perm, h.shape[0],
+                 None if init is None else init.shape[0])
+
+
+def _spmm_vjp_bwd(keep_padded, res, g):
+    e_w, pc, pc_t, w_perm, h_rows, init_rows = res
+    e_w_t = transfer_weights(e_w, w_perm, pc.chunk)
+    dh = spmm_pair_chunks(pc_t, g, e_w_t, None, assume_permuted=True,
+                          keep_padded=keep_padded)
+    if dh.shape[0] < h_rows:
+        dh = jnp.pad(dh, ((0, h_rows - dh.shape[0]), (0, 0)))
+    elif dh.shape[0] > h_rows:
+        dh = dh[:h_rows]
+    dinit = None
+    if init_rows is not None:
+        dinit = g if g.shape[0] == init_rows else (
+            jnp.pad(g, ((0, init_rows - g.shape[0]), (0, 0)))
+            if g.shape[0] < init_rows else g[:init_rows])
+    return (dh, jnp.zeros_like(e_w), dinit,
+            jax.tree.map(_zero_cotangent, pc),
+            jax.tree.map(_zero_cotangent, pc_t),
+            _zero_cotangent(w_perm))
+
+
+_spmm_vjp.defvjp(_spmm_vjp_fwd, _spmm_vjp_bwd)
+
+
 def make_spmm_grad(pc: PairChunks, pc_t: PairChunks, perm: jnp.ndarray,
                    keep_padded: bool = False):
     """Differentiable SpMM: forward through ``pc``, backward through the
@@ -225,36 +277,7 @@ def make_spmm_grad(pc: PairChunks, pc_t: PairChunks, perm: jnp.ndarray,
     Â requires no grad; the ``init`` cotangent is the output cotangent.
     """
 
-    call = functools.partial(spmm_pair_chunks, assume_permuted=True,
-                             keep_padded=keep_padded)
-
-    @jax.custom_vjp
-    def f(h, e_w, init):
-        return call(pc, h, e_w, init)
-
-    def fwd(h, e_w, init):
-        return call(pc, h, e_w, init), (e_w, h.shape[0],
-                                        None if init is None
-                                        else init.shape[0])
-
-    def bwd(res, g):
-        e_w, h_rows, init_rows = res
-        e_w_t = transfer_weights(e_w, perm, pc.chunk)
-        dh = call(pc_t, g, e_w_t, None)  # (pc.n_cols[, pad], c)
-        if dh.shape[0] < h_rows:
-            dh = jnp.pad(dh, ((0, h_rows - dh.shape[0]), (0, 0)))
-        elif dh.shape[0] > h_rows:
-            dh = dh[:h_rows]
-        dinit = None
-        if init_rows is not None:
-            dinit = g if g.shape[0] == init_rows else (
-                jnp.pad(g, ((0, init_rows - g.shape[0]), (0, 0)))
-                if g.shape[0] < init_rows else g[:init_rows])
-        return dh, jnp.zeros_like(e_w), dinit
-
-    f.defvjp(fwd, bwd)
-
     def wrapper(h, e_w, init=None):
-        return f(h, e_w, init)
+        return _spmm_vjp(h, e_w, init, pc, pc_t, perm, keep_padded)
 
     return wrapper

@@ -32,7 +32,8 @@ from flax import struct
 
 from ppnp_tpu.utils.padding import round_up_to_multiple
 
-__all__ = ["ShardedGraph", "build_sharded_graph"]
+__all__ = ["ShardedGraph", "build_sharded_graph",
+           "build_sharded_pair_chunks"]
 
 
 @struct.dataclass
@@ -147,3 +148,85 @@ def build_sharded_graph(
         send_idx=jnp.asarray(send_idx),
         n_rows=n, n_pad=n_pad, shard_rows=shard_rows,
         n_shards=n_shards, boundary=boundary, nnz=int(csr.nnz))
+
+
+def _pad_pair_chunks(pc, n_seg_to: int, n_mid_to: int):
+    """Pad a PairChunks to a common (n_seg, n_mid) geometry.
+
+    Padding segments/midchunks carry w=0 and base row 0 — they stream
+    through the kernel and contribute exact zeros, the same invariant as
+    the packer's own padding.
+    """
+    import jax.numpy as jnp
+    from ppnp_tpu.ops.pairchunks import PairChunks
+    dseg = n_seg_to - pc.n_seg
+    dmid = n_mid_to - pc.n_mid
+    return PairChunks(
+        seg_bs=jnp.pad(pc.seg_bs, (0, dseg)),
+        mid_bd=jnp.pad(pc.mid_bd, (0, dmid)),
+        e_src=jnp.pad(pc.e_src, ((0, 0), (0, dseg))),
+        e_w=jnp.pad(pc.e_w, ((0, 0), (0, dseg))),
+        e_dst=jnp.pad(pc.e_dst, ((0, dmid), (0, 0))),
+        n_rows=pc.n_rows, n_rows_pad=pc.n_rows_pad,
+        n_cols_pad=pc.n_cols_pad, window=pc.window,
+        window_src=pc.window_src, chunk=pc.chunk,
+        seg_per_mid=pc.seg_per_mid, nnz=pc.nnz,
+        mids_per_step=pc.mids_per_step, perm=pc.perm, iperm=pc.iperm)
+
+
+def build_sharded_pair_chunks(sg: ShardedGraph, **pack_kwargs):
+    """Per-shard Pallas packings of the LOCAL operators, stacked.
+
+    Shard d's local SpMM is the rectangular matrix
+    ``A_d: (shard_rows × table_len)`` over its gather table
+    ``[H_local | recv]`` (module docstring layout contract). Each shard's
+    forward packing, transpose packing (for the SpMM adjoint), and
+    slot-permutation are built host-side, padded to one common static
+    geometry, and stacked along a leading shard axis so ``shard_map``
+    hands every device its own slice.
+
+    Returns ``(pc_stacked, pc_t_stacked, w_perm_stacked)`` — PairChunks
+    pytrees whose array leaves have a leading ``n_shards`` dimension
+    (static fields are shard-invariant by construction).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ppnp_tpu.ops.pairchunks import (pair_chunks_from_scipy,
+                                         slot_permutation, transpose_pair)
+
+    table_len = sg.shard_rows + sg.n_shards * sg.boundary
+    dst = np.asarray(sg.dst)
+    src = np.asarray(sg.src)
+    w = np.asarray(sg.w)
+
+    pcs, pcts, perms = [], [], []
+    for d in range(sg.n_shards):
+        real = w[d] != 0
+        a_d = sp.coo_matrix(
+            (w[d][real], (dst[d][real], src[d][real])),
+            shape=(sg.shard_rows, table_len)).tocsr()
+        pc = pair_chunks_from_scipy(a_d, **pack_kwargs)
+        pc_t = transpose_pair(a_d, **pack_kwargs)
+        perms.append(slot_permutation(pc, pc_t))
+        pcs.append(pc)
+        pcts.append(pc_t)
+
+    def common(pclist):
+        mps = pclist[0].mids_per_step
+        n_mid = round_up_to_multiple(max(p.n_mid for p in pclist), mps)
+        n_seg = n_mid * pclist[0].seg_per_mid
+        # Static fields must be shard-invariant to stack; nnz is metadata
+        # only (roofline accounting) — record the per-shard max.
+        nnz = max(p.nnz for p in pclist)
+        return [_pad_pair_chunks(p, n_seg, n_mid).replace(nnz=nnz)
+                for p in pclist]
+
+    pcs, pcts = common(pcs), common(pcts)
+    n_slots_t = pcts[0].n_seg * pcts[0].chunk
+    perm = np.full((sg.n_shards, n_slots_t), -1, dtype=np.int64)
+    for d, p in enumerate(perms):
+        perm[d, :len(p)] = p
+
+    stack = lambda *xs: jnp.stack(xs)  # noqa: E731
+    return (jax.tree.map(stack, *pcs), jax.tree.map(stack, *pcts),
+            jnp.asarray(perm))

@@ -32,14 +32,28 @@ __all__ = ["ShardedPowerIteration"]
 
 @struct.dataclass
 class ShardedPowerIteration:
-    """K sharded steps of H ← (1-α)ÂH + αH⁰ with boundary exchange."""
+    """K sharded steps of H ← (1-α)ÂH + αH⁰ with boundary exchange.
+
+    ``backend="pallas"`` runs each shard's local SpMM through the
+    pair-chunk MXU kernel (``ppnp_tpu.kernels.spmm``) instead of XLA
+    gather+segment-sum: pass the stacked per-shard packings from
+    ``ppnp_tpu.parallel.partition.build_sharded_pair_chunks``. The α-mix
+    is fused into the kernel (α·H⁰ seeds the accumulator, (1-α) folds
+    into the edge weights) and the backward pass runs each shard's
+    transpose packing — the boundary-exchange cotangent rides XLA's
+    ``all_to_all`` autodiff. Requires ``exchange="alltoall"``.
+    """
 
     graph: ShardedGraph
     mesh: Mesh = struct.field(pytree_node=False)
+    pair_chunks: Optional[object] = None     # stacked per-shard PairChunks
+    pair_chunks_t: Optional[object] = None   # stacked transpose packings
+    w_perm: Optional[jnp.ndarray] = None     # stacked slot permutations
     alpha: float = struct.field(pytree_node=False, default=0.1)
     niter: int = struct.field(pytree_node=False, default=10)
     drop_prob: float = struct.field(pytree_node=False, default=0.5)
     exchange: str = struct.field(pytree_node=False, default="alltoall")
+    backend: str = struct.field(pytree_node=False, default="xla")
     axis: str = struct.field(pytree_node=False, default=NODE_AXIS)
 
     @property
@@ -49,6 +63,8 @@ class ShardedPowerIteration:
 
     def propagate(self, h0: jnp.ndarray, *, key: Optional[jax.Array] = None,
                   train: bool = False) -> jnp.ndarray:
+        if self.backend == "pallas":
+            return self._propagate_pallas(h0, key=key, train=train)
         g = self.graph
         c = h0.shape[-1]
         apply_drop = bool(train and self.drop_prob > 0.0 and key is not None)
@@ -102,6 +118,77 @@ class ShardedPowerIteration:
             in_specs=(P(a, None), P(a), P(a), P(a), P(a), P(a), P()),
             out_specs=P(a, None), check_vma=False)
         return f(h0, g.dst, g.src, g.src_global, g.w, g.send_idx, keys)
+
+    def _propagate_pallas(self, h0: jnp.ndarray, *, key, train):
+        """Sharded propagation with the pair-chunk MXU kernel per shard.
+
+        Same exchange schedule as the XLA path; only the local SpMM and
+        the α-mix change: ``out_loc = A_w_loc @ [H_loc | recv] + α·H⁰_loc``
+        is one fused kernel per step per shard.
+        """
+        if self.exchange != "alltoall":
+            raise ValueError("pallas sharded propagation requires "
+                             "exchange='alltoall'")
+        if self.pair_chunks is None:
+            raise ValueError(
+                "backend='pallas' requires the stacked per-shard packings "
+                "(ppnp_tpu.parallel.partition.build_sharded_pair_chunks)")
+        from ppnp_tpu.kernels.spmm import _spmm_vjp
+
+        g = self.graph
+        c = h0.shape[-1]
+        apply_drop = bool(train and self.drop_prob > 0.0 and key is not None)
+        alpha = self.alpha
+        differentiable = self.pair_chunks_t is not None
+
+        def shard_fn(h0_loc, pc, pc_t, w_perm, send_idx, keys):
+            pc = jax.tree.map(lambda x: x[0], pc)
+            send_idx = send_idx[0]
+            if differentiable:
+                pc_t = jax.tree.map(lambda x: x[0], pc_t)
+                w_perm = w_perm[0]
+            me = jax.lax.axis_index(self.axis)
+            init = alpha * h0_loc  # fused α-mix accumulator seed
+
+            def local_spmm(table, w_it):
+                if differentiable:
+                    return _spmm_vjp(table, w_it, init, pc, pc_t, w_perm,
+                                     False)
+                from ppnp_tpu.kernels import spmm as spmm_mod
+                return spmm_mod.spmm_pair_chunks(
+                    pc, table, w_it, init=init, assume_permuted=True)
+
+            def step(h_loc, k):
+                if apply_drop:
+                    # Decorrelate shards: each owns a disjoint edge set.
+                    w_it = edge_dropout(jax.random.fold_in(k, me), pc.e_w,
+                                        self.drop_prob)
+                else:
+                    w_it = pc.e_w
+                w_it = (1.0 - alpha) * w_it
+                send = jnp.take(h_loc, send_idx, axis=0)  # (nd, B, c)
+                recv = jax.lax.all_to_all(
+                    send, self.axis, split_axis=0, concat_axis=0,
+                    tiled=False)
+                table = jnp.concatenate([h_loc, recv.reshape(-1, c)],
+                                        axis=0)
+                return local_spmm(table, w_it), None
+
+            h_loc, _ = jax.lax.scan(step, h0_loc, keys)
+            return h_loc
+
+        if apply_drop:
+            keys = jax.random.split(key, self.niter)
+        else:
+            keys = jnp.zeros((self.niter, 2), dtype=jnp.uint32)
+
+        a = self.axis
+        f = jax.shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(a, None), P(a), P(a), P(a), P(a), P()),
+            out_specs=P(a, None), check_vma=False)
+        return f(h0, self.pair_chunks, self.pair_chunks_t, self.w_perm,
+                 g.send_idx, keys)
 
     def __call__(self, h_local: jnp.ndarray,
                  idx: Optional[jnp.ndarray] = None, *,

@@ -20,6 +20,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from typing import Any, Dict, Optional, Sequence, Tuple
@@ -68,6 +69,62 @@ def get_predictions(params, x: jnp.ndarray, propagator) -> np.ndarray:
     """
     logp = ppnp_forward(params, x, propagator, None, train=False)
     return np.asarray(jnp.argmax(logp, axis=-1))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("learning_rate", "reg_lambda", "drop_prob"))
+def _run_chunk(params, opt_state, best, keys, epochs, x,
+               idx_train, y_train, idx_stop, y_stop, propagator, *,
+               learning_rate, reg_lambda, drop_prob):
+    """`len(keys)` training epochs in ONE compiled lax.scan.
+
+    Module-level so the compilation caches ACROSS ``train_model`` calls:
+    a seed sweep (reproduce.py, SURVEY.md §3.6) compiles once per
+    graph/propagator shape instead of once per seed. Device dispatch
+    costs ~0.4ms (and compiles ~tens of seconds) on this platform while
+    the reference does one step per epoch (SURVEY.md §3.1), so both
+    per-epoch dispatch and per-seed compilation would otherwise dominate
+    small-graph training.
+
+    The best parameter snapshot (highest stopping acc, ties → lower loss
+    — the reference's remember rule) is tracked ON DEVICE inside the
+    scan so chunking never loses the exact best epoch.
+    """
+    optimizer = optax.adam(learning_rate)
+
+    def epoch_body(carry, key_epoch):
+        params, opt_state, best = carry
+        key, epoch = key_epoch
+
+        def loss_fn(p):
+            logp = ppnp_forward(p, x, propagator, idx_train, key=key,
+                                train=True, drop_prob=drop_prob)
+            return _nll(logp, y_train) + (reg_lambda / 2.0) * l2_reg(p)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+
+        logp = ppnp_forward(params, x, propagator, idx_stop, train=False)
+        stop_loss = _nll(logp, y_stop)
+        stop_acc = jnp.mean(jnp.argmax(logp, axis=-1) == y_stop)
+
+        best_params, best_acc, best_loss, best_epoch = best
+        improved = jnp.logical_or(
+            stop_acc > best_acc,
+            jnp.logical_and(stop_acc == best_acc, stop_loss < best_loss))
+        best = (
+            jax.tree.map(lambda b, p: jnp.where(improved, p, b),
+                         best_params, params),
+            jnp.where(improved, stop_acc, best_acc),
+            jnp.where(improved, stop_loss, best_loss),
+            jnp.where(improved, epoch, best_epoch),
+        )
+        return (params, opt_state, best), (loss, stop_acc, stop_loss)
+
+    (params, opt_state, best), ms = jax.lax.scan(
+        epoch_body, (params, opt_state, best), (keys, epochs))
+    return params, opt_state, best, ms
 
 
 def train_model(
@@ -132,48 +189,14 @@ def train_model(
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
 
-    # Epoch-chunked training: `epoch_chunk` epochs run inside ONE jitted
-    # lax.scan call. Device dispatch costs ~0.4ms on this platform and the
-    # reference does one step per epoch (SURVEY.md §3.1), so per-epoch
-    # dispatch would dominate small-graph training. The best parameter
-    # snapshot (highest stopping acc, ties → lower loss — the reference's
-    # remember rule) is tracked ON DEVICE inside the scan so chunking
-    # never loses the exact best epoch.
-    def epoch_body(carry, key_epoch):
-        params, opt_state, best = carry
-        key, epoch = key_epoch
-
-        def loss_fn(p):
-            logp = ppnp_forward(p, x, propagator, idx_train, key=key,
-                                train=True, drop_prob=drop_prob)
-            return _nll(logp, y_train) + (reg_lambda / 2.0) * l2_reg(p)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-
-        logp = ppnp_forward(params, x, propagator, idx_stop, train=False)
-        stop_loss = _nll(logp, y_stop)
-        stop_acc = jnp.mean(jnp.argmax(logp, axis=-1) == y_stop)
-
-        best_params, best_acc, best_loss, best_epoch = best
-        improved = jnp.logical_or(
-            stop_acc > best_acc,
-            jnp.logical_and(stop_acc == best_acc, stop_loss < best_loss))
-        best = (
-            jax.tree.map(lambda b, p: jnp.where(improved, p, b),
-                         best_params, params),
-            jnp.where(improved, stop_acc, best_acc),
-            jnp.where(improved, stop_loss, best_loss),
-            jnp.where(improved, epoch, best_epoch),
-        )
-        return (params, opt_state, best), (loss, stop_acc, stop_loss)
-
-    @jax.jit
+    # Epoch-chunked training: `epoch_chunk` epochs run inside ONE compiled
+    # lax.scan call (see _run_chunk — shared/cached across train_model
+    # calls so seed sweeps compile once).
     def run_chunk(params, opt_state, best, keys, epochs):
-        (params, opt_state, best), ms = jax.lax.scan(
-            epoch_body, (params, opt_state, best), (keys, epochs))
-        return params, opt_state, best, ms
+        return _run_chunk(params, opt_state, best, keys, epochs, x,
+                          idx_train, y_train, idx_stop, y_stop, propagator,
+                          learning_rate=learning_rate,
+                          reg_lambda=reg_lambda, drop_prob=drop_prob)
 
     def chunk_keys(e0, count):
         epochs = jnp.arange(e0, e0 + count)

@@ -31,6 +31,20 @@ def pytest_collection_modifyitems(config, items):
     pass
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches():
+    """Drop compiled-program caches between test modules.
+
+    The whole suite runs in one process; XLA:CPU has shown rare compiler
+    segfaults when hundreds of programs accumulate in one backend client
+    (observed once in test_kernel.py mid-suite, never standalone).
+    Clearing per module keeps the client small and the suite
+    deterministic at negligible recompile cost.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def small_graph():
     """A small standardized attributed SBM graph shared across tests."""

@@ -106,3 +106,55 @@ def test_heartbeat_healthy_mesh():
     elapsed = heartbeat(mesh)
     assert elapsed < 60.0
     assert_devices_healthy(mesh)
+
+
+def test_sharded_pallas_matches_oracle(setup):
+    """Per-shard pallas SpMM (interpret mode) == unsharded oracle."""
+    import functools
+    from unittest import mock
+    from ppnp_tpu.kernels import spmm as spmm_mod
+    from ppnp_tpu.parallel.partition import build_sharded_pair_chunks
+
+    a_hat, h0, z_ref = setup
+    nd = 4
+    mesh = make_mesh(n_devices=nd)
+    sg = build_sharded_graph(a_hat, n_shards=nd)
+    pc, pc_t, w_perm = build_sharded_pair_chunks(sg, use_native="never")
+    prop = ShardedPowerIteration(graph=sg, mesh=mesh, pair_chunks=pc,
+                                 pair_chunks_t=pc_t, w_perm=w_perm,
+                                 alpha=0.1, niter=10, backend="pallas")
+    h0_pad = np.pad(h0, ((0, sg.n_pad - h0.shape[0]), (0, 0)))
+    interp = functools.partial(spmm_mod.spmm_pair_chunks, interpret=True)
+    with mock.patch.object(spmm_mod, "spmm_pair_chunks", interp):
+        z = prop(jnp.asarray(h0_pad), train=False)
+    np.testing.assert_allclose(np.asarray(z)[:h0.shape[0]], z_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_pallas_grad_matches_xla(setup):
+    """Backward through per-shard transpose packings == XLA-path grad."""
+    import functools
+    from unittest import mock
+    from ppnp_tpu.kernels import spmm as spmm_mod
+    from ppnp_tpu.parallel.partition import build_sharded_pair_chunks
+
+    a_hat, h0, _ = setup
+    nd = 2
+    mesh = make_mesh(n_devices=nd)
+    sg = build_sharded_graph(a_hat, n_shards=nd)
+    pc, pc_t, w_perm = build_sharded_pair_chunks(sg, use_native="never")
+    prop_p = ShardedPowerIteration(graph=sg, mesh=mesh, pair_chunks=pc,
+                                   pair_chunks_t=pc_t, w_perm=w_perm,
+                                   alpha=0.1, niter=3, backend="pallas")
+    prop_x = ShardedPowerIteration(graph=sg, mesh=mesh, alpha=0.1, niter=3)
+    h0_pad = jnp.asarray(np.pad(h0, ((0, sg.n_pad - h0.shape[0]), (0, 0))))
+
+    def loss(prop):
+        return lambda h: jnp.sum(prop(h, train=False) ** 2)
+
+    interp = functools.partial(spmm_mod.spmm_pair_chunks, interpret=True)
+    with mock.patch.object(spmm_mod, "spmm_pair_chunks", interp):
+        g_p = jax.grad(loss(prop_p))(h0_pad)
+    g_x = jax.grad(loss(prop_x))(h0_pad)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-3, atol=1e-4)
