@@ -56,6 +56,9 @@ from ppnp_tpu.ops.pairchunks import PairChunks
 
 __all__ = ["spmm_pair_chunks", "transfer_weights", "make_spmm_grad"]
 
+# v5e VMEM is 128MiB; leave headroom for Mosaic's own buffers.
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
 
 def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
                  h_ref, *rest,
@@ -144,6 +147,21 @@ def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
     if has_init and init.shape[0] < pc.n_rows_pad:
         init = jnp.pad(init, ((0, pc.n_rows_pad - init.shape[0]), (0, 0)))
 
+    if not interpret:
+        # H, init and out are VMEM-resident by design (plus edge blocks
+        # and the cbuf scratch); fail early with a pointer to the
+        # row-sharded path when a graph outgrows one core's VMEM.
+        resident = (pc.n_cols_pad + (2 + has_init) * pc.n_rows_pad) * c * 4
+        streams = (2 * pc.chunk * sps * 4 + mids_per_step * mid * 4
+                   + mid * c * 4) * 2
+        if resident + streams > _VMEM_LIMIT_BYTES:
+            raise ValueError(
+                f"graph too large for the single-core VMEM-resident SpMM "
+                f"(needs ~{(resident + streams) >> 20}MiB of "
+                f"{_VMEM_LIMIT_BYTES >> 20}MiB): row-shard it over a mesh "
+                f"(ppnp_tpu.parallel, backend='pallas') or use the XLA "
+                f"edge-list backend")
+
     grid = (n_mid // mids_per_step,)
     kernel = functools.partial(
         _spmm_kernel, window=window, window_src=pc.window_src, chunk=chunk,
@@ -178,7 +196,7 @@ def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             # H, init and out are all fully VMEM-resident; the default
             # scoped limit is 16MB but v5e has 128MB of VMEM.
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         cost_estimate=pl.CostEstimate(
             flops=2 * pc.n_seg * chunk * (pc.window_src + window) * c,
             bytes_accessed=(pc.n_seg * chunk * 12 + pc.n_cols_pad * c * 4

@@ -36,14 +36,15 @@ def heartbeat(mesh, axis: str = NODE_AXIS, timeout_s: float = 60.0) -> float:
     process supervisor).
     """
     n = mesh.shape[axis]
-    x = jnp.ones((n,), dtype=jnp.float32)
 
-    def f(xs):
-        return jax.lax.psum(xs, axis)
+    def f():
+        # No inputs, replicated output: valid and addressable from every
+        # process in the multi-controller runtime.
+        return jax.lax.psum(jnp.float32(1.0), axis)
 
     t0 = time.perf_counter()
-    out = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=P(axis),
-                                out_specs=P(axis), check_vma=False))(x)
+    out = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=(),
+                                out_specs=P(), check_vma=False))()
     total = np.asarray(out)
     elapsed = time.perf_counter() - t0
     if not np.allclose(total, n):
