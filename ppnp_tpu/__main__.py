@@ -59,14 +59,19 @@ def _cfg_from_args(args) -> RunConfig:
 
 def cmd_train(args) -> int:
     from ppnp_tpu.builders import build_propagator, load_graph, train_kwargs
-    from ppnp_tpu.metrics import JsonlWriter
+    from ppnp_tpu.metrics import JsonlWriter, TeeWriter, TensorboardWriter
     from ppnp_tpu.train import train_model
 
     cfg = _cfg_from_args(args)
     graph = load_graph(cfg)
     logger.info("dataset %s: %s", cfg.dataset, graph)
     propagator = build_propagator(cfg, graph)
-    metrics = JsonlWriter(cfg.metrics_path) if cfg.metrics_path else None
+    writers = []
+    if cfg.metrics_path:
+        writers.append(JsonlWriter(cfg.metrics_path))
+    if getattr(args, "tensorboard", None):
+        writers.append(TensorboardWriter(args.tensorboard))
+    metrics = TeeWriter(*writers) if writers else None
     _, result = train_model(
         graph, propagator, metrics=metrics,
         checkpoint_dir=cfg.checkpoint_dir, resume=cfg.resume,
@@ -98,9 +103,15 @@ def cmd_reproduce(args) -> int:
 
 def cmd_bench(args) -> int:
     from ppnp_tpu.benchmarks import bench_propagation, bench_scaling
-    if args.scaling:
+    if args.training:
+        from ppnp_tpu.benchmarks import bench_training
+        res = bench_training(dataset=args.dataset,
+                             backend=args.backends[0],
+                             epochs=args.epochs)
+    elif args.scaling:
         res = bench_scaling(dataset=args.dataset, c=args.c,
-                            niter=args.niter, iters=args.iters)
+                            niter=args.niter, iters=args.iters,
+                            backend=args.backends[0])
     else:
         res = bench_propagation(dataset=args.dataset, c=args.c,
                                 niter=args.niter, iters=args.iters,
@@ -161,6 +172,8 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--metrics-out", default=None,
                    help="JSONL per-epoch metrics path")
+    p.add_argument("--tensorboard", default=None,
+                   help="TensorBoard logdir (mirrors epoch metrics)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.set_defaults(fn=cmd_train)
@@ -182,6 +195,9 @@ def main(argv=None) -> int:
     p.add_argument("--backends", nargs="+", default=["xla", "pallas"])
     p.add_argument("--scaling", action="store_true",
                    help="strong-scaling sweep over the local mesh")
+    p.add_argument("--training", action="store_true",
+                   help="steady-state training epochs/s")
+    p.add_argument("--epochs", type=int, default=50)
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("retrieve", help="train + top-k retrieval demo")

@@ -180,3 +180,47 @@ def bench_scaling(
         logger.info("%d shards: %.0f steps/s (eff %.2f)", ns, sps,
                     sps / (ns * base_sps))
     return result
+
+
+def bench_training(
+    dataset: str = "cora_ml",
+    backend: str = "pallas",
+    epochs: int = 50,
+    seed: int = 0,
+) -> Dict:
+    """Steady-state training throughput (epochs/s), compile excluded.
+
+    One epoch = the reference protocol's unit of work (SURVEY.md §3.1):
+    full-batch forward (K SpMMs) + backward (K transpose SpMMs) + the
+    stopping-set eval forward (K SpMMs), all inside the jitted epoch
+    chunk. The first chunk is discarded as warm-up/compile.
+    """
+    import jax.numpy as jnp
+    from ppnp_tpu.builders import build_propagator
+    from ppnp_tpu.train import train_model
+
+    cfg = RunConfig(dataset=dataset, propagation="power", backend=backend,
+                    print_interval=0)
+    graph = load_graph(cfg)
+    prop = build_propagator(cfg, graph)
+
+    # Warm-up run compiles the chunk (cached across train_model calls);
+    # same chunk size as the timed run so no recompile is timed.
+    chunk = min(epochs, 25)
+    train_model(graph, prop, stopping_args={"max_epochs": chunk,
+                                            "patience": 10 ** 6},
+                seed=seed, print_interval=0, epoch_chunk=chunk)
+    t0 = time.perf_counter()
+    _, res = train_model(graph, prop,
+                         stopping_args={"max_epochs": epochs,
+                                        "patience": 10 ** 6},
+                         seed=seed, print_interval=0,
+                         epoch_chunk=chunk)
+    wall = time.perf_counter() - t0
+    return {
+        "dataset": dataset, "backend": backend, "epochs": epochs,
+        "epochs_per_s": epochs / wall,
+        "s_per_epoch": wall / epochs,
+        "valtest_accuracy": res["valtest"]["accuracy"],
+        "device": str(jax.devices()[0]),
+    }

@@ -16,7 +16,8 @@ from typing import IO, Optional, Union
 
 import numpy as np
 
-__all__ = ["accuracy", "macro_f1", "JsonlWriter"]
+__all__ = ["accuracy", "macro_f1", "JsonlWriter",
+           "TensorboardWriter", "TeeWriter"]
 
 
 def accuracy(y_true: np.ndarray, y_pred: np.ndarray) -> float:
@@ -67,6 +68,69 @@ class JsonlWriter:
         if self._f is not None and self._own:
             self._f.close()
         self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class TensorboardWriter:
+    """Optional TensorBoard mirror of the JSONL stream (SURVEY.md §5
+    "Metrics" row: JSONL + optional tensorboard).
+
+    Same ``write(event=..., **fields)`` protocol as :class:`JsonlWriter`;
+    numeric fields of ``epoch`` events become scalars keyed by field name
+    with the epoch as the step. No-op (with a warning) if tensorboard is
+    unavailable in the environment.
+    """
+
+    def __init__(self, logdir: Union[str, Path]):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._w = SummaryWriter(str(logdir))
+        except Exception as e:  # pragma: no cover - env-dependent
+            import logging
+            logging.getLogger(__name__).warning(
+                "tensorboard unavailable (%s); metrics not mirrored", e)
+            self._w = None
+
+    def write(self, **row) -> None:
+        if self._w is None or row.get("event") != "epoch":
+            return
+        step = int(row.get("epoch", 0))
+        for k, v in row.items():
+            if k in ("event", "epoch", "ts"):
+                continue
+            if isinstance(v, (int, float, np.floating, np.integer)):
+                self._w.add_scalar(k, float(v), step)
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.close()
+            self._w = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class TeeWriter:
+    """Fan a metrics stream out to several writers (e.g. JSONL + TB)."""
+
+    def __init__(self, *writers):
+        self._writers = [w for w in writers if w is not None]
+
+    def write(self, **row) -> None:
+        for w in self._writers:
+            w.write(**row)
+
+    def close(self) -> None:
+        for w in self._writers:
+            w.close()
 
     def __enter__(self):
         return self

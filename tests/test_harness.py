@@ -129,3 +129,20 @@ def test_trace_smoke(tmp_path):
             jnp.ones((8, 8)).sum().block_until_ready()
     # a trace directory materialized
     assert any((tmp_path / "prof").rglob("*"))
+
+
+def test_tensorboard_tee_writer(tmp_path):
+    """TeeWriter fans epoch rows to JSONL + TensorBoard (SURVEY.md §5)."""
+    import json as _json
+    from ppnp_tpu.metrics import JsonlWriter, TeeWriter, TensorboardWriter
+
+    jsonl = tmp_path / "m.jsonl"
+    with TeeWriter(JsonlWriter(jsonl), TensorboardWriter(tmp_path)) as w:
+        w.write(event="epoch", epoch=0, train_loss=1.25,
+                stopping_accuracy=0.5)
+        w.write(event="final", valtest={"accuracy": 0.8})
+    rows = [_json.loads(line) for line in jsonl.read_text().splitlines()]
+    assert rows[0]["train_loss"] == 1.25
+    assert rows[1]["event"] == "final"
+    assert any(f.name.startswith("events.out.tfevents")
+               for f in tmp_path.iterdir())
