@@ -76,9 +76,11 @@ def ppnp_forward(params: MlpParams, x: jnp.ndarray, propagator,
         key_mlp, key_prop = jax.random.split(key)
     else:
         key_mlp = key_prop = None
-    h_local = mlp_forward(params, x, key=key_mlp, train=train,
-                          drop_prob=drop_prob)
-    z = propagator(h_local, idx, key=key_prop, train=train)
+    with jax.named_scope("ppnp/mlp"):
+        h_local = mlp_forward(params, x, key=key_mlp, train=train,
+                              drop_prob=drop_prob)
+    with jax.named_scope("ppnp/propagate"):
+        z = propagator(h_local, idx, key=key_prop, train=train)
     return jax.nn.log_softmax(z, axis=-1)
 
 

@@ -249,3 +249,21 @@ def test_propagation_pallas_reordered_matches_xla(small_graph):
     out_x = prop_x(h0, train=False)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_vmem_guard_rejects_oversized_graph():
+    """Graphs whose resident buffers exceed VMEM fail fast with a
+    pointer to the sharded path (compiled mode only)."""
+    import jax
+    from ppnp_tpu.ops.pairchunks import PairChunks
+
+    pc_small = pair_chunks_from_scipy(
+        sp.random(256, 256, density=0.02, random_state=np.random.RandomState(0),
+                  format="csr", dtype=np.float32))
+    # Same arrays, absurd static row/col counts: only the guard trips.
+    pc_big = pc_small.replace(n_rows=2_000_000, n_rows_pad=2_000_000,
+                              n_cols_pad=2_000_000)
+    h = jnp.zeros((2_000_000, 8), jnp.float32)
+    with pytest.raises(Exception) as ei:
+        jax.eval_shape(lambda hh: spmm_pair_chunks(pc_big, hh), h)
+    assert "row-shard" in str(ei.value)
