@@ -108,6 +108,9 @@ def cmd_bench(args) -> int:
         res = bench_training(dataset=args.dataset,
                              backend=args.backends[0],
                              epochs=args.epochs)
+    elif args.retrieval:
+        from ppnp_tpu.benchmarks import bench_retrieval
+        res = bench_retrieval(dataset=args.dataset)
     elif args.scaling:
         res = bench_scaling(dataset=args.dataset, c=args.c,
                             niter=args.niter, iters=args.iters,
@@ -197,6 +200,8 @@ def main(argv=None) -> int:
                    help="strong-scaling sweep over the local mesh")
     p.add_argument("--training", action="store_true",
                    help="steady-state training epochs/s")
+    p.add_argument("--retrieval", action="store_true",
+                   help="top-k retrieval queries/s")
     p.add_argument("--epochs", type=int, default=50)
     p.set_defaults(fn=cmd_bench)
 

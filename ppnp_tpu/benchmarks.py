@@ -185,7 +185,7 @@ def bench_scaling(
 def bench_training(
     dataset: str = "cora_ml",
     backend: str = "pallas",
-    epochs: int = 50,
+    epochs: int = 200,
     seed: int = 0,
 ) -> Dict:
     """Steady-state training throughput (epochs/s), compile excluded.
@@ -224,3 +224,48 @@ def bench_training(
         "valtest_accuracy": res["valtest"]["accuracy"],
         "device": str(jax.devices()[0]),
     }
+
+
+def bench_retrieval(
+    dataset: str = "ms_academic",
+    d: int = 64,
+    k: int = 10,
+    n_queries: int = 1024,
+    iters: int = 30,
+    seed: int = 0,
+) -> Dict:
+    """Top-k retrieval throughput over the node-embedding table.
+
+    Measures both the single-device ``retrieve_topk`` and the
+    mesh-sharded ``retrieve_topk_sharded`` (local top-k + small
+    all_gather merge — BASELINE.json:11) on whatever devices exist.
+    """
+    from ppnp_tpu.retrieval import retrieve_topk, retrieve_topk_sharded
+    from ppnp_tpu.parallel.mesh import make_mesh
+
+    cfg = RunConfig(dataset=dataset)
+    graph = load_graph(cfg)
+    n = graph.num_nodes()
+    rng = np.random.RandomState(seed)
+    table = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    q = jnp.asarray(rng.randn(n_queries, d).astype(np.float32))
+
+    result: Dict = {"dataset": dataset, "n": n, "d": d, "k": k,
+                    "n_queries": n_queries,
+                    "device": str(jax.devices()[0]), "paths": {}}
+
+    f = jax.jit(lambda qq: retrieve_topk(qq, table, k=k))
+    t = _time(f, q, iters=iters)
+    result["paths"]["single"] = {"seconds": t,
+                                 "queries_per_s": n_queries / t}
+
+    nd = jax.device_count()
+    mesh = make_mesh(n_devices=nd)
+    n_pad = ((n + nd * 8 - 1) // (nd * 8)) * nd * 8
+    table_pad = jnp.pad(table, ((0, n_pad - n), (0, 0)))
+    fs = jax.jit(lambda qq: retrieve_topk_sharded(
+        qq, table_pad, k=k, mesh=mesh, n_valid=n))
+    t = _time(fs, q, iters=iters)
+    result["paths"][f"sharded_{nd}dev"] = {
+        "seconds": t, "queries_per_s": n_queries / t}
+    return result

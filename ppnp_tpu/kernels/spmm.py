@@ -236,29 +236,35 @@ def _zero_cotangent(x):
     return np.zeros(x.shape, dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _spmm_vjp(h, e_w, init, pc, pc_t, w_perm, keep_padded):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _spmm_vjp(h, e_w, init, pc, pc_t, w_perm, e_w_t, keep_padded):
     """``A_w @ h (+ init)`` with backward through the transpose packing.
 
     Module-level custom_vjp: the packings are explicit pytree ARGS (not
     closure captures) so the operator can ride through jit boundaries as
     an argument — closures over traced arrays inside a custom_vjp leak
     tracers into the lowered jaxpr.
+
+    ``e_w_t``: the SAME weights in the transpose packing's slot order,
+    when the caller can provide them (id-keyed dropout regenerates them
+    gather-free — ops/hashrng.py); ``None`` falls back to gathering the
+    forward weights through ``w_perm`` (a ~nnz scalar gather per call).
     """
     return spmm_pair_chunks(pc, h, e_w, init, assume_permuted=True,
                             keep_padded=keep_padded)
 
 
-def _spmm_vjp_fwd(h, e_w, init, pc, pc_t, w_perm, keep_padded):
+def _spmm_vjp_fwd(h, e_w, init, pc, pc_t, w_perm, e_w_t, keep_padded):
     out = spmm_pair_chunks(pc, h, e_w, init, assume_permuted=True,
                            keep_padded=keep_padded)
-    return out, (e_w, pc, pc_t, w_perm, h.shape[0],
+    return out, (e_w, pc, pc_t, w_perm, e_w_t, h.shape[0],
                  None if init is None else init.shape[0])
 
 
 def _spmm_vjp_bwd(keep_padded, res, g):
-    e_w, pc, pc_t, w_perm, h_rows, init_rows = res
-    e_w_t = transfer_weights(e_w, w_perm, pc.chunk)
+    e_w, pc, pc_t, w_perm, e_w_t_in, h_rows, init_rows = res
+    e_w_t = (transfer_weights(e_w, w_perm, pc.chunk)
+             if e_w_t_in is None else e_w_t_in)
     dh = spmm_pair_chunks(pc_t, g, e_w_t, None, assume_permuted=True,
                           keep_padded=keep_padded)
     if dh.shape[0] < h_rows:
@@ -273,7 +279,8 @@ def _spmm_vjp_bwd(keep_padded, res, g):
     return (dh, jnp.zeros_like(e_w), dinit,
             jax.tree.map(_zero_cotangent, pc),
             jax.tree.map(_zero_cotangent, pc_t),
-            _zero_cotangent(w_perm))
+            _zero_cotangent(w_perm),
+            None if e_w_t_in is None else jnp.zeros_like(e_w_t_in))
 
 
 _spmm_vjp.defvjp(_spmm_vjp_fwd, _spmm_vjp_bwd)
@@ -295,7 +302,7 @@ def make_spmm_grad(pc: PairChunks, pc_t: PairChunks, perm: jnp.ndarray,
     Â requires no grad; the ``init`` cotangent is the output cotangent.
     """
 
-    def wrapper(h, e_w, init=None):
-        return _spmm_vjp(h, e_w, init, pc, pc_t, perm, keep_padded)
+    def wrapper(h, e_w, init=None, e_w_t=None):
+        return _spmm_vjp(h, e_w, init, pc, pc_t, perm, e_w_t, keep_padded)
 
     return wrapper

@@ -69,6 +69,13 @@ class PairChunks:
     # in original order). perm maps packed row -> original row.
     perm: Optional[jnp.ndarray] = None    # int32 [n_rows] or None
     iperm: Optional[jnp.ndarray] = None   # int32 [n_rows] or None
+    # Canonical 64-bit edge id per slot (hi/lo uint32 words): identical
+    # for the same edge in this packing and its transpose packing, so
+    # per-iteration dropout masks can be REGENERATED (counter-keyed
+    # threefry, ops/hashrng.py) in either layout with no cross-layout
+    # gather. Padding slots carry id 0 (their w is 0 anyway).
+    eid_hi: Optional[jnp.ndarray] = None  # uint32 [CHUNK, n_seg] or None
+    eid_lo: Optional[jnp.ndarray] = None  # uint32 [CHUNK, n_seg] or None
 
     @property
     def n_seg(self) -> int:
@@ -100,6 +107,7 @@ def pair_chunks_from_scipy(
     window_src: int = None,
     reorder: Optional[str] = None,
     perm: Optional[np.ndarray] = None,
+    edge_ids: Optional[str] = "direct",
 ) -> PairChunks:
     """Pack a scipy sparse matrix into PairChunks (host-side, runs once).
 
@@ -113,6 +121,10 @@ def pair_chunks_from_scipy(
     ``perm`` supplies an explicit permutation instead (packed row i is
     original row ``perm[i]``). The stored ``perm``/``iperm`` let the
     kernel wrapper map operands between original and packed order.
+
+    ``edge_ids``: attach canonical per-slot edge ids ("direct" for a
+    forward packing, "transpose" for a packing of Mᵀ so ids match the
+    forward packing's, None to skip) — see the ``eid_hi/eid_lo`` fields.
     """
     if window_src is None:
         window_src = window
@@ -145,7 +157,7 @@ def pair_chunks_from_scipy(
             mid = chunk * seg_per_mid
             n_mid = n_seg_pad // seg_per_mid
             mid_bd = seg_dw_rows.reshape(n_mid, seg_per_mid)[:, 0]
-            return PairChunks(
+            pc = PairChunks(
                 seg_bs=jnp.asarray(seg_bs),
                 mid_bd=jnp.asarray(mid_bd),
                 e_src=jnp.asarray(e_src.T.copy()),
@@ -157,6 +169,7 @@ def pair_chunks_from_scipy(
                 window=window, window_src=window_src, chunk=chunk,
                 seg_per_mid=seg_per_mid, nnz=int(csr.nnz),
                 mids_per_step=mids_per_step, **perm_arrays)
+            return _attach_edge_ids(pc, edge_ids)
         if use_native == "require":
             raise RuntimeError("native packer unavailable "
                                "(csrc build failed and use_native='require')")
@@ -178,7 +191,7 @@ def pair_chunks_from_scipy(
         mid = chunk * seg_per_mid
         n_mid = mids_per_step
         n_seg_pad = n_mid * seg_per_mid
-        return PairChunks(
+        return _attach_edge_ids(PairChunks(
             seg_bs=jnp.zeros(n_seg_pad, jnp.int32),
             mid_bd=jnp.zeros(n_mid, jnp.int32),
             e_src=jnp.zeros((chunk, n_seg_pad), jnp.int32),
@@ -187,7 +200,7 @@ def pair_chunks_from_scipy(
             n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
             window=window, window_src=window_src, chunk=chunk,
             seg_per_mid=seg_per_mid, nnz=0,
-            mids_per_step=mids_per_step, **perm_arrays)
+            mids_per_step=mids_per_step, **perm_arrays), edge_ids)
 
     order = np.lexsort((src, sw, dw))
     dst, src, w, dw, sw = dst[order], src[order], w[order], dw[order], sw[order]
@@ -271,7 +284,7 @@ def pair_chunks_from_scipy(
     mid_bd = seg_dw_rows.reshape(n_mid, seg_per_mid)[:, 0].astype(np.int32)
     e_dst = seg_dst.reshape(n_mid, mid).astype(np.int32)
 
-    return PairChunks(  # numpy path
+    return _attach_edge_ids(PairChunks(  # numpy path
         seg_bs=jnp.asarray(seg_bs),
         mid_bd=jnp.asarray(mid_bd),
         e_src=jnp.asarray(seg_src.T.copy()),
@@ -280,12 +293,41 @@ def pair_chunks_from_scipy(
         n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
         window=window, window_src=window_src, chunk=chunk,
         seg_per_mid=seg_per_mid, nnz=nnz,
-        mids_per_step=mids_per_step, **perm_arrays)
+        mids_per_step=mids_per_step, **perm_arrays), edge_ids)
 
 
-def transpose_pair(mat: sp.spmatrix, **kwargs) -> PairChunks:
-    """Pack Âᵀ (for the SpMM adjoint — the backward pass's operator)."""
-    return pair_chunks_from_scipy(mat.T.tocsr(), **kwargs)
+def _attach_edge_ids(pc: PairChunks,
+                     orientation: Optional[str]) -> PairChunks:
+    """Store canonical 64-bit edge ids per slot (see PairChunks).
+
+    ``orientation="direct"``: id = row·span + col of the packed matrix;
+    ``"transpose"``: id = col·span + row, so a packing of Mᵀ assigns each
+    edge the SAME id as the forward packing of M (span = max padded dim
+    is symmetric under transposition).
+    """
+    if orientation is None:
+        return pc
+    if orientation not in ("direct", "transpose"):
+        raise ValueError(f"unknown edge_ids orientation {orientation!r}")
+    rows, cols, valid = _slot_coords(pc)
+    span = max(pc.n_rows_pad, pc.n_cols_pad)
+    r, c = (cols, rows) if orientation == "transpose" else (rows, cols)
+    eid = np.where(valid, r.astype(np.int64) * span + c, 0)
+    eid = eid.reshape(pc.n_seg, pc.chunk).T
+    return pc.replace(
+        eid_hi=jnp.asarray((eid >> 32) & 0xFFFFFFFF, jnp.uint32),
+        eid_lo=jnp.asarray(eid & 0xFFFFFFFF, jnp.uint32))
+
+
+def transpose_pair(mat: sp.spmatrix, edge_ids: Optional[str] = "transpose",
+                   **kwargs) -> PairChunks:
+    """Pack Âᵀ (for the SpMM adjoint — the backward pass's operator).
+
+    Edge ids default to the "transpose" orientation so per-edge dropout
+    masks regenerate identically in both packings.
+    """
+    return pair_chunks_from_scipy(mat.T.tocsr(), edge_ids=edge_ids,
+                                  **kwargs)
 
 
 def _slot_coords(pc: PairChunks):

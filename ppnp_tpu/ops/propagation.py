@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ppnp_tpu.ops.dropout import dropout, edge_dropout
+from ppnp_tpu.ops.dropout import dropout, edge_dropout, edge_dropout_by_id
 from ppnp_tpu.ops.sparse import EdgeList, EllBlocks
 
 __all__ = ["spmm_edge_list", "spmm", "PPRPowerIteration"]
@@ -135,26 +135,39 @@ class PPRPowerIteration:
         hp = jnp.pad(hp, ((0, pc.n_rows_pad - n), (0, 0)))
         init = self.alpha * hp  # α·H⁰, padded, packed order
 
-        if self.pair_chunks_t is not None:
+        pc_t = self.pair_chunks_t
+        if pc_t is not None:
             # Differentiable pallas SpMM: backward runs the transpose
             # packing with the same (possibly masked) edge weights.
             from ppnp_tpu.kernels.spmm import make_spmm_grad
-            spmm_fn = make_spmm_grad(pc, self.pair_chunks_t, self.w_perm,
+            spmm_fn = make_spmm_grad(pc, pc_t, self.w_perm,
                                      keep_padded=True)
         else:
             from ppnp_tpu.kernels.spmm import spmm_pair_chunks
 
-            def spmm_fn(h, w, init):
+            def spmm_fn(h, w, init, e_w_t=None):
                 return spmm_pair_chunks(pc, h, w, init=init,
                                         assume_permuted=True,
                                         keep_padded=True)
+
+        use_ids = (pc.eid_hi is not None and pc_t is not None
+                   and pc_t.eid_hi is not None)
 
         if apply_drop:
             keys = jax.random.split(key, self.niter)
 
             def step(h, k):
                 # Fresh per-iteration mask on the packed edge weights
-                # (padding slots are 0 and stay 0 under any mask).
+                # (padding slots are 0 and stay 0 under any mask). With
+                # edge-id-keyed masks the transpose packing regenerates
+                # the identical mask for the backward pass — no per-step
+                # cross-layout weight gather (ops/hashrng.py).
+                if use_ids:
+                    w = one_minus_alpha * edge_dropout_by_id(
+                        k, pc, self.drop_prob)
+                    w_t = one_minus_alpha * edge_dropout_by_id(
+                        k, pc_t, self.drop_prob)
+                    return spmm_fn(h, w, init, w_t), None
                 w = one_minus_alpha * edge_dropout(k, pc.e_w,
                                                    self.drop_prob)
                 return spmm_fn(h, w, init), None
@@ -162,9 +175,11 @@ class PPRPowerIteration:
             hp, _ = jax.lax.scan(step, hp, keys)
         else:
             w_scaled = one_minus_alpha * pc.e_w
+            w_t_scaled = (one_minus_alpha * pc_t.e_w
+                          if pc_t is not None else None)
 
             def step(h, _):
-                return spmm_fn(h, w_scaled, init), None
+                return spmm_fn(h, w_scaled, init, w_t_scaled), None
 
             hp, _ = jax.lax.scan(step, hp, None, length=self.niter)
 

@@ -161,17 +161,20 @@ def _pad_pair_chunks(pc, n_seg_to: int, n_mid_to: int):
     from ppnp_tpu.ops.pairchunks import PairChunks
     dseg = n_seg_to - pc.n_seg
     dmid = n_mid_to - pc.n_mid
+    pad_seg = lambda a: (None if a is None  # noqa: E731
+                         else jnp.pad(a, ((0, 0), (0, dseg))))
     return PairChunks(
         seg_bs=jnp.pad(pc.seg_bs, (0, dseg)),
         mid_bd=jnp.pad(pc.mid_bd, (0, dmid)),
         e_src=jnp.pad(pc.e_src, ((0, 0), (0, dseg))),
-        e_w=jnp.pad(pc.e_w, ((0, 0), (0, dseg))),
+        e_w=pad_seg(pc.e_w),
         e_dst=jnp.pad(pc.e_dst, ((0, dmid), (0, 0))),
         n_rows=pc.n_rows, n_rows_pad=pc.n_rows_pad,
         n_cols_pad=pc.n_cols_pad, window=pc.window,
         window_src=pc.window_src, chunk=pc.chunk,
         seg_per_mid=pc.seg_per_mid, nnz=pc.nnz,
-        mids_per_step=pc.mids_per_step, perm=pc.perm, iperm=pc.iperm)
+        mids_per_step=pc.mids_per_step, perm=pc.perm, iperm=pc.iperm,
+        eid_hi=pad_seg(pc.eid_hi), eid_lo=pad_seg(pc.eid_lo))
 
 
 def build_sharded_pair_chunks(sg: ShardedGraph, **pack_kwargs):

@@ -149,22 +149,35 @@ class ShardedPowerIteration:
                 w_perm = w_perm[0]
             me = jax.lax.axis_index(self.axis)
             init = alpha * h0_loc  # fused α-mix accumulator seed
+            use_ids = (differentiable and pc.eid_hi is not None
+                       and pc_t.eid_hi is not None)
 
-            def local_spmm(table, w_it):
+            def local_spmm(table, w_it, w_t):
                 if differentiable:
                     return _spmm_vjp(table, w_it, init, pc, pc_t, w_perm,
-                                     False)
+                                     w_t, False)
                 from ppnp_tpu.kernels import spmm as spmm_mod
                 return spmm_mod.spmm_pair_chunks(
                     pc, table, w_it, init=init, assume_permuted=True)
 
             def step(h_loc, k):
+                w_t = None
                 if apply_drop:
                     # Decorrelate shards: each owns a disjoint edge set.
-                    w_it = edge_dropout(jax.random.fold_in(k, me), pc.e_w,
-                                        self.drop_prob)
+                    k_me = jax.random.fold_in(k, me)
+                    if use_ids:
+                        # Id-keyed masks regenerate identically in the
+                        # transpose packing — gather-free backward.
+                        w_it = edge_dropout_by_id(k_me, pc,
+                                                  self.drop_prob)
+                        w_t = (1.0 - alpha) * edge_dropout_by_id(
+                            k_me, pc_t, self.drop_prob)
+                    else:
+                        w_it = edge_dropout(k_me, pc.e_w, self.drop_prob)
                 else:
                     w_it = pc.e_w
+                    if differentiable:
+                        w_t = (1.0 - alpha) * pc_t.e_w
                 w_it = (1.0 - alpha) * w_it
                 send = jnp.take(h_loc, send_idx, axis=0)  # (nd, B, c)
                 recv = jax.lax.all_to_all(
@@ -172,7 +185,7 @@ class ShardedPowerIteration:
                     tiled=False)
                 table = jnp.concatenate([h_loc, recv.reshape(-1, c)],
                                         axis=0)
-                return local_spmm(table, w_it), None
+                return local_spmm(table, w_it, w_t), None
 
             h_loc, _ = jax.lax.scan(step, h0_loc, keys)
             return h_loc

@@ -61,14 +61,20 @@ def _nll(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(rows)
 
 
+@jax.jit
+def _predict(params, x, propagator):
+    logp = ppnp_forward(params, x, propagator, None, train=False)
+    return jnp.argmax(logp, axis=-1)
+
+
 def get_predictions(params, x: jnp.ndarray, propagator) -> np.ndarray:
     """Argmax class predictions for all nodes (eval mode).
 
     Reference analog: training.py's batched ``get_predictions`` helper —
-    no batching needed here, the whole graph is one device computation.
+    no batching needed here, the whole graph is one device computation
+    (module-level jit: compiled once per shape, cached across calls).
     """
-    logp = ppnp_forward(params, x, propagator, None, train=False)
-    return np.asarray(jnp.argmax(logp, axis=-1))
+    return np.asarray(_predict(params, x, propagator))
 
 
 @functools.partial(

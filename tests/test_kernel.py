@@ -13,6 +13,17 @@ from ppnp_tpu.ops.pairchunks import pair_chunks_from_scipy
 from ppnp_tpu.ops.propagation import PPRPowerIteration
 from ppnp_tpu.ops.sparse import edge_list_from_scipy
 
+@pytest.fixture(autouse=True)
+def _clear_caches_per_test():
+    """XLA:CPU segfaults (in backend_compile) have been observed twice in
+    this module when many compiled programs accumulate in-process —
+    always at compile time, never standalone. Clearing per test keeps the
+    backend client small; recompiles here are cheap (interpret mode)."""
+    yield
+    import jax
+    jax.clear_caches()
+
+
 
 @pytest.mark.parametrize("n,density,c", [
     (300, 0.02, 16),
@@ -267,3 +278,87 @@ def test_vmem_guard_rejects_oversized_graph():
     with pytest.raises(Exception) as ei:
         jax.eval_shape(lambda hh: spmm_pair_chunks(pc_big, hh), h)
     assert "row-shard" in str(ei.value)
+
+
+def test_edge_dropout_by_id_consistent_across_packings():
+    """Same (key, edge) → same Bernoulli draw in fwd + transpose layout."""
+    import jax
+    from ppnp_tpu.ops.dropout import edge_dropout_by_id
+    from ppnp_tpu.ops.pairchunks import transpose_pair
+
+    rng = np.random.RandomState(5)
+    a = sp.random(300, 300, density=0.02, random_state=rng, format="csr",
+                  dtype=np.float32)
+    pc = pair_chunks_from_scipy(a, use_native="never")
+    pc_t = transpose_pair(a, use_native="never")
+    key = jax.random.PRNGKey(42)
+    w = np.asarray(edge_dropout_by_id(key, pc, 0.5))
+    w_t = np.asarray(edge_dropout_by_id(key, pc_t, 0.5))
+
+    def per_edge(p, vals):
+        hi = np.asarray(p.eid_hi).T.reshape(-1).astype(np.int64)
+        lo = np.asarray(p.eid_lo).T.reshape(-1).astype(np.int64)
+        v = vals.T.reshape(-1)
+        mask = np.asarray(p.e_w).T.reshape(-1) != 0
+        eid = (hi << 32) | lo
+        order = np.argsort(eid[mask])
+        return eid[mask][order], v[mask][order]
+
+    e1, v1 = per_edge(pc, w)
+    e2, v2 = per_edge(pc_t, w_t)
+    assert np.array_equal(e1, e2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    kept = np.mean(v1 != 0)
+    assert 0.35 < kept < 0.65  # p=0.5 +- sampling noise
+
+
+def test_spmm_grad_id_dropout_matches_dense(small_graph):
+    """Train-mode grad through id-keyed masks == dense autodiff with the
+    SAME masked matrices (interpret mode)."""
+    import functools
+    import jax
+    from unittest import mock
+    from ppnp_tpu.kernels import spmm as spmm_mod
+    from ppnp_tpu.ops.dropout import edge_dropout_by_id
+    from ppnp_tpu.ops.pairchunks import slot_permutation, transpose_pair
+
+    a_hat = calc_A_hat(small_graph.adj_matrix)
+    pc = pair_chunks_from_scipy(a_hat, use_native="never")
+    pc_t = transpose_pair(a_hat, use_native="never")
+    w_perm = jnp.asarray(slot_permutation(pc, pc_t))
+    key = jax.random.PRNGKey(7)
+    n = a_hat.shape[0]
+    rng = np.random.RandomState(2)
+    h0 = jnp.asarray(rng.randn(n, 6).astype(np.float32))
+
+    w = edge_dropout_by_id(key, pc, 0.5)
+    w_t = edge_dropout_by_id(key, pc_t, 0.5)
+
+    interp = functools.partial(spmm_mod.spmm_pair_chunks, interpret=True)
+    with mock.patch.object(spmm_mod, "spmm_pair_chunks", interp):
+        f = spmm_mod.make_spmm_grad(pc, pc_t, w_perm)
+        g_id = jax.grad(lambda h: jnp.sum(f(h, w, None, w_t) ** 2))(h0)
+        # fallback path: transfer the SAME weights through the slot perm
+        g_tr = jax.grad(lambda h: jnp.sum(f(h, w) ** 2))(h0)
+
+    # dense oracle with the identical masked matrix
+    rows, cols = [], []
+    dense = np.zeros((n, n), np.float32)
+    hi = np.asarray(pc.eid_hi).T.reshape(-1).astype(np.int64)
+    lo = np.asarray(pc.eid_lo).T.reshape(-1).astype(np.int64)
+    wv = np.asarray(w).T.reshape(-1)
+    valid = np.asarray(pc.e_w).T.reshape(-1) != 0
+    span = max(pc.n_rows_pad, pc.n_cols_pad)
+    eid = (hi << 32) | lo
+    dense[eid[valid] // span, eid[valid] % span] = wv[valid]
+
+    def loss(h):
+        prod = jax.lax.dot(jnp.asarray(dense), h,
+                           precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(prod ** 2)
+
+    g_ref = jax.grad(loss)(h0)
+    np.testing.assert_allclose(np.asarray(g_id), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_tr), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
