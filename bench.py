@@ -1,9 +1,12 @@
 """Driver benchmark: one JSON line on stdout.
 
-Measures K=10 APPNP power-iteration propagation throughput on the
-MS Academic-scale graph (the largest reference config, BASELINE.json:10)
-at c=128, for both the XLA gather+segment-sum path and the Pallas
-pair-chunk MXU kernel, on the local TPU.
+Measures steady-state APPNP power-iteration propagation throughput on
+the MS Academic-scale graph (the largest reference config,
+BASELINE.json:10) at c=128, for both the XLA gather+segment-sum path and
+the Pallas pair-chunk MXU kernel, on the local TPU. A 100-step chain per
+dispatch amortizes this platform's ~1.3ms remote-tunnel launch latency —
+the per-step cost that matters in training, where hundreds of kernel
+calls ride one jitted epoch chunk.
 
 Printed metric: propagation steps/s (best backend).
 vs_baseline: speedup over the XLA gather+segment-sum implementation —
@@ -20,8 +23,8 @@ def main() -> int:
     logging.basicConfig(level=logging.WARNING)
     from ppnp_tpu.benchmarks import bench_propagation
 
-    res = bench_propagation(dataset="ms_academic", c=128, niter=10,
-                            iters=20, backends=("xla", "pallas"))
+    res = bench_propagation(dataset="ms_academic", c=128, niter=100,
+                            iters=10, backends=("xla", "pallas"))
     backends = {k: v for k, v in res["backends"].items() if "error" not in v}
     if not backends:
         print(json.dumps({"metric": "appnp_propagation_steps_per_s",

@@ -58,8 +58,8 @@ def _time(f, *args, iters: int = 30) -> float:
 def bench_propagation(
     dataset: str = "ms_academic",
     c: int = 128,
-    niter: int = 10,
-    iters: int = 30,
+    niter: int = 100,
+    iters: int = 10,
     backends: Sequence[str] = ("xla", "pallas"),
     seed: int = 0,
 ) -> Dict:
@@ -68,6 +68,13 @@ def bench_propagation(
     Returns per-backend {seconds, steps_per_s, effective_gbps} plus the
     speed-of-light accounting: bytes/step ≈ nnz·(4+4) + 2·n·c·4
     (edge stream + H in/out, BASELINE.md's roofline formula).
+
+    ``niter`` defaults to a 100-step chain so the number reflects the
+    STEADY-STATE per-step cost: this platform's remote-tunnel dispatch
+    costs ~1.3ms per jit call, which at the model's K=10 would add a
+    constant +130µs/step of pure launch latency to every backend (in
+    real training the launch cost amortizes across the whole jitted
+    epoch chunk, so the chained measurement is the faithful one).
     """
     cfg = RunConfig(dataset=dataset)
     graph = load_graph(cfg)

@@ -1,0 +1,128 @@
+"""Fused K-step APPNP kernel tests (interpreter mode on CPU).
+
+The fused kernel runs the whole power iteration in one pallas_call with
+H ping-ponging between VMEM buffers; its adjoint runs the transpose
+packing with masks in reverse order plus an α-accumulator (the
+self-adjoint identity in eval mode). See ppnp_tpu/kernels/fused.py.
+"""
+
+import functools
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import ppnp_tpu.kernels.fused as fused_mod
+import ppnp_tpu.kernels.spmm as spmm_mod
+from ppnp_tpu.kernels.fused import appnp_fused, make_appnp_fused_grad
+from ppnp_tpu.ops.hashrng import uniform_bits
+from ppnp_tpu.ops.pairchunks import (pair_chunks_from_scipy,
+                                     slot_permutation, transpose_pair)
+
+ALPHA, K = 0.15, 4
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_per_test():
+    yield
+    jax.clear_caches()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(3)
+    a = sp.random(300, 300, density=0.02, random_state=rng, format="csr",
+                  dtype=np.float32)
+    pc = pair_chunks_from_scipy(a, use_native="never")
+    pc_t = transpose_pair(a, use_native="never")
+    w_perm = jnp.asarray(slot_permutation(pc, pc_t))
+    h0 = jnp.pad(jnp.asarray(rng.randn(300, 8).astype(np.float32)),
+                 ((0, pc.n_rows_pad - 300), (0, 0)))
+    return a, pc, pc_t, w_perm, h0
+
+
+def _planes_by_id(p, key, nplanes):
+    outs = []
+    for t in range(nplanes):
+        kt = jax.random.fold_in(key, t)
+        bits = uniform_bits(kt, p.eid_hi, p.eid_lo)
+        mask = (bits < jnp.uint32(0.5 * 2 ** 32)).astype(jnp.float32)
+        outs.append((1 - ALPHA) * p.e_w * mask * 2.0)
+    return jnp.stack(outs)
+
+
+def _ref_prop(pc, h, planes=None):
+    init = ALPHA * h
+    for t in range(K):
+        w = planes[t] if planes is not None else (1 - ALPHA) * pc.e_w
+        h = spmm_mod.spmm_pair_chunks(pc, h, w, init=init,
+                                      assume_permuted=True,
+                                      keep_padded=True, interpret=True)
+    return h
+
+
+def test_fused_forward_eval_and_train(setup):
+    _, pc, _, _, h0 = setup
+    out = appnp_fused(pc, h0, alpha=ALPHA, niter=K, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_ref_prop(pc, h0)),
+                               rtol=1e-5, atol=1e-5)
+    planes = _planes_by_id(pc, jax.random.PRNGKey(9), K)
+    out = appnp_fused(pc, h0, alpha=ALPHA, niter=K, e_w_all=planes,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_ref_prop(pc, h0, planes)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_grad_eval_and_train(setup):
+    _, pc, pc_t, w_perm, h0 = setup
+    key = jax.random.PRNGKey(9)
+    pl_f = _planes_by_id(pc, key, K)
+    pl_t = _planes_by_id(pc_t, key, K)
+
+    interp_f = functools.partial(appnp_fused, interpret=True)
+    interp_s = functools.partial(spmm_mod.spmm_pair_chunks, interpret=True)
+    with mock.patch.object(fused_mod, "appnp_fused", interp_f), \
+         mock.patch.object(spmm_mod, "spmm_pair_chunks", interp_s):
+        ref_step = spmm_mod.make_spmm_grad(pc, pc_t, w_perm,
+                                           keep_padded=True)
+
+        def ref(h, planes=None):
+            init = ALPHA * h
+            out = h
+            for t in range(K):
+                w = (planes[t] if planes is not None
+                     else (1 - ALPHA) * pc.e_w)
+                out = ref_step(out, w, init)
+            return out
+
+        f = make_appnp_fused_grad(pc, pc_t, alpha=ALPHA, niter=K)
+        # eval: self-adjoint path
+        g_f = jax.grad(lambda h: jnp.sum(f(h) ** 2))(h0)
+        g_r = jax.grad(lambda h: jnp.sum(ref(h) ** 2))(h0)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                                   rtol=1e-3, atol=1e-4)
+        # train: adjoint-accumulator path, reverse mask order
+        g_f = jax.grad(lambda h: jnp.sum(f(h, pl_f, pl_t) ** 2))(h0)
+        g_r = jax.grad(lambda h: jnp.sum(ref(h, pl_f) ** 2))(h0)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_fused_odd_niter(setup):
+    """Buffer parity: odd K writes the output buffer last too."""
+    _, pc, _, _, h0 = setup
+    for k in (1, 3, 5):
+        out = appnp_fused(pc, h0, alpha=ALPHA, niter=k, interpret=True)
+        ref = h0
+        init = ALPHA * h0
+        for _ in range(k):
+            ref = spmm_mod.spmm_pair_chunks(
+                pc, ref, (1 - ALPHA) * pc.e_w, init=init,
+                assume_permuted=True, keep_padded=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
