@@ -72,10 +72,16 @@ def cmd_train(args) -> int:
     if getattr(args, "tensorboard", None):
         writers.append(TensorboardWriter(args.tensorboard))
     metrics = TeeWriter(*writers) if writers else None
-    _, result = train_model(
-        graph, propagator, metrics=metrics,
-        checkpoint_dir=cfg.checkpoint_dir, resume=cfg.resume,
-        **train_kwargs(cfg))
+    try:
+        _, result = train_model(
+            graph, propagator, metrics=metrics,
+            checkpoint_dir=cfg.checkpoint_dir, resume=cfg.resume,
+            **train_kwargs(cfg))
+    finally:
+        # TensorBoard's SummaryWriter buffers (default flush 120s);
+        # short runs would otherwise exit with a truncated events file.
+        if metrics is not None:
+            metrics.close()
     out = {k: v for k, v in result.items() if k != "predictions"}
     out["config"] = json.loads(cfg.to_json())
     print(json.dumps(out, indent=2, default=float))

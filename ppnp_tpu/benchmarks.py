@@ -167,7 +167,7 @@ def bench_scaling(
         sg = build_sharded_graph(a_hat, n_shards=ns)
         pc = None
         if backend == "pallas":
-            pc, _, _ = build_sharded_pair_chunks(sg)
+            pc, _, _ = build_sharded_pair_chunks(sg, with_adjoint=False)
         prop = ShardedPowerIteration(graph=sg, mesh=mesh, pair_chunks=pc,
                                      alpha=alpha, niter=niter,
                                      exchange=exchange, backend=backend)
@@ -212,8 +212,11 @@ def bench_training(
     prop = build_propagator(cfg, graph)
 
     # Warm-up run compiles the chunk (cached across train_model calls);
-    # same chunk size as the timed run so no recompile is timed.
+    # same chunk size as the timed run so no recompile is timed — epochs
+    # is rounded to a multiple of the chunk so the timed run never
+    # compiles a differently-shaped remainder chunk.
     chunk = min(epochs, 25)
+    epochs = max(chunk, (epochs // chunk) * chunk)
     train_model(graph, prop, stopping_args={"max_epochs": chunk,
                                             "patience": 10 ** 6},
                 seed=seed, print_interval=0, epoch_chunk=chunk)

@@ -219,6 +219,10 @@ def appnp_fused(pc: PairChunks, h0: jnp.ndarray, *,
         mids_per_step = pc.mids_per_step
     if e_w_all is None:
         e_w_all = ((1.0 - alpha) * pc.e_w)[None]
+    if e_w_all.shape[0] not in (1, niter):
+        raise ValueError(
+            f"e_w_all has {e_w_all.shape[0]} planes; need 1 (shared) "
+            f"or niter={niter}")
     n_pad = pc.n_rows_pad
     chunk, spm = pc.chunk, pc.seg_per_mid
     mid, sps = pc.mid, mids_per_step * spm

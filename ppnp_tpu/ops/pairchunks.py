@@ -65,6 +65,10 @@ class PairChunks:
     seg_per_mid: int = struct.field(pytree_node=False)
     nnz: int = struct.field(pytree_node=False)
     mids_per_step: int = struct.field(pytree_node=False, default=16)
+    # Unpadded column count (rows is n_rows): max(n_rows, n_cols) is
+    # transpose-invariant, which the edge-id span relies on. 0 = unknown
+    # (legacy packings) — falls back to the padded dims.
+    n_cols: int = struct.field(pytree_node=False, default=0)
     # Row/col reordering under which the matrix was packed (None = packed
     # in original order). perm maps packed row -> original row.
     perm: Optional[jnp.ndarray] = None    # int32 [n_rows] or None
@@ -168,7 +172,8 @@ def pair_chunks_from_scipy(
                 n_cols_pad=round_up_to_multiple(n_cols, window_src),
                 window=window, window_src=window_src, chunk=chunk,
                 seg_per_mid=seg_per_mid, nnz=int(csr.nnz),
-                mids_per_step=mids_per_step, **perm_arrays)
+                mids_per_step=mids_per_step, n_cols=n_cols,
+                **perm_arrays)
             return _attach_edge_ids(pc, edge_ids)
         if use_native == "require":
             raise RuntimeError("native packer unavailable "
@@ -200,7 +205,8 @@ def pair_chunks_from_scipy(
             n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
             window=window, window_src=window_src, chunk=chunk,
             seg_per_mid=seg_per_mid, nnz=0,
-            mids_per_step=mids_per_step, **perm_arrays), edge_ids)
+            mids_per_step=mids_per_step, n_cols=n_cols,
+            **perm_arrays), edge_ids)
 
     order = np.lexsort((src, sw, dw))
     dst, src, w, dw, sw = dst[order], src[order], w[order], dw[order], sw[order]
@@ -293,7 +299,8 @@ def pair_chunks_from_scipy(
         n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
         window=window, window_src=window_src, chunk=chunk,
         seg_per_mid=seg_per_mid, nnz=nnz,
-        mids_per_step=mids_per_step, **perm_arrays), edge_ids)
+        mids_per_step=mids_per_step, n_cols=n_cols,
+        **perm_arrays), edge_ids)
 
 
 def _attach_edge_ids(pc: PairChunks,
@@ -310,7 +317,15 @@ def _attach_edge_ids(pc: PairChunks,
     if orientation not in ("direct", "transpose"):
         raise ValueError(f"unknown edge_ids orientation {orientation!r}")
     rows, cols, valid = _slot_coords(pc)
-    span = max(pc.n_rows_pad, pc.n_cols_pad)
+    # span must be TRANSPOSE-INVARIANT or the forward and transpose
+    # packings assign different ids to the same edge (and id-keyed
+    # dropout would silently draw different masks in fwd vs bwd).
+    # max(unpadded rows, unpadded cols) is symmetric; the padded dims
+    # are not when window != window_src.
+    if pc.n_cols:
+        span = max(pc.n_rows, pc.n_cols)
+    else:  # legacy packing without n_cols
+        span = max(pc.n_rows_pad, pc.n_cols_pad)
     r, c = (cols, rows) if orientation == "transpose" else (rows, cols)
     eid = np.where(valid, r.astype(np.int64) * span + c, 0)
     eid = eid.reshape(pc.n_seg, pc.chunk).T

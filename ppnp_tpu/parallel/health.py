@@ -49,7 +49,7 @@ def heartbeat(mesh, axis: str = NODE_AXIS, timeout_s: float = 60.0) -> float:
     elapsed = time.perf_counter() - t0
     if not np.allclose(total, n):
         raise RuntimeError(
-            f"heartbeat psum returned {total[:4]}..., expected {n} — "
+            f"heartbeat psum returned {float(total)}, expected {n} — "
             "a mesh participant is unhealthy")
     if elapsed > timeout_s:
         raise TimeoutError(

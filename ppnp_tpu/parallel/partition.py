@@ -163,21 +163,20 @@ def _pad_pair_chunks(pc, n_seg_to: int, n_mid_to: int):
     dmid = n_mid_to - pc.n_mid
     pad_seg = lambda a: (None if a is None  # noqa: E731
                          else jnp.pad(a, ((0, 0), (0, dseg))))
-    return PairChunks(
+    # replace() pads exactly the geometry-dependent arrays and inherits
+    # every other (incl. future) field untouched.
+    return pc.replace(
         seg_bs=jnp.pad(pc.seg_bs, (0, dseg)),
         mid_bd=jnp.pad(pc.mid_bd, (0, dmid)),
         e_src=jnp.pad(pc.e_src, ((0, 0), (0, dseg))),
         e_w=pad_seg(pc.e_w),
         e_dst=jnp.pad(pc.e_dst, ((0, dmid), (0, 0))),
-        n_rows=pc.n_rows, n_rows_pad=pc.n_rows_pad,
-        n_cols_pad=pc.n_cols_pad, window=pc.window,
-        window_src=pc.window_src, chunk=pc.chunk,
-        seg_per_mid=pc.seg_per_mid, nnz=pc.nnz,
-        mids_per_step=pc.mids_per_step, perm=pc.perm, iperm=pc.iperm,
         eid_hi=pad_seg(pc.eid_hi), eid_lo=pad_seg(pc.eid_lo))
 
 
-def build_sharded_pair_chunks(sg: ShardedGraph, **pack_kwargs):
+def build_sharded_pair_chunks(sg: ShardedGraph,
+                              with_adjoint: bool = True,
+                              **pack_kwargs):
     """Per-shard Pallas packings of the LOCAL operators, stacked.
 
     Shard d's local SpMM is the rectangular matrix
@@ -191,6 +190,9 @@ def build_sharded_pair_chunks(sg: ShardedGraph, **pack_kwargs):
     Returns ``(pc_stacked, pc_t_stacked, w_perm_stacked)`` — PairChunks
     pytrees whose array leaves have a leading ``n_shards`` dimension
     (static fields are shard-invariant by construction).
+    ``with_adjoint=False`` skips the transpose packings and slot
+    permutations (eval-only uses, e.g. the scaling benchmark) and
+    returns ``(pc_stacked, None, None)``.
     """
     import jax
     import jax.numpy as jnp
@@ -208,11 +210,11 @@ def build_sharded_pair_chunks(sg: ShardedGraph, **pack_kwargs):
         a_d = sp.coo_matrix(
             (w[d][real], (dst[d][real], src[d][real])),
             shape=(sg.shard_rows, table_len)).tocsr()
-        pc = pair_chunks_from_scipy(a_d, **pack_kwargs)
-        pc_t = transpose_pair(a_d, **pack_kwargs)
-        perms.append(slot_permutation(pc, pc_t))
-        pcs.append(pc)
-        pcts.append(pc_t)
+        pcs.append(pair_chunks_from_scipy(a_d, **pack_kwargs))
+        if with_adjoint:
+            pc_t = transpose_pair(a_d, **pack_kwargs)
+            perms.append(slot_permutation(pcs[-1], pc_t))
+            pcts.append(pc_t)
 
     def common(pclist):
         mps = pclist[0].mids_per_step
@@ -224,12 +226,14 @@ def build_sharded_pair_chunks(sg: ShardedGraph, **pack_kwargs):
         return [_pad_pair_chunks(p, n_seg, n_mid).replace(nnz=nnz)
                 for p in pclist]
 
-    pcs, pcts = common(pcs), common(pcts)
+    stack = lambda *xs: jnp.stack(xs)  # noqa: E731
+    pcs = common(pcs)
+    if not with_adjoint:
+        return jax.tree.map(stack, *pcs), None, None
+    pcts = common(pcts)
     n_slots_t = pcts[0].n_seg * pcts[0].chunk
     perm = np.full((sg.n_shards, n_slots_t), -1, dtype=np.int64)
     for d, p in enumerate(perms):
         perm[d, :len(p)] = p
-
-    stack = lambda *xs: jnp.stack(xs)  # noqa: E731
     return (jax.tree.map(stack, *pcs), jax.tree.map(stack, *pcts),
             jnp.asarray(perm))

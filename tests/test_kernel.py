@@ -348,7 +348,7 @@ def test_spmm_grad_id_dropout_matches_dense(small_graph):
     lo = np.asarray(pc.eid_lo).T.reshape(-1).astype(np.int64)
     wv = np.asarray(w).T.reshape(-1)
     valid = np.asarray(pc.e_w).T.reshape(-1) != 0
-    span = max(pc.n_rows_pad, pc.n_cols_pad)
+    span = max(pc.n_rows, pc.n_cols)  # transpose-invariant id span
     eid = (hi << 32) | lo
     dense[eid[valid] // span, eid[valid] % span] = wv[valid]
 
@@ -362,3 +362,25 @@ def test_spmm_grad_id_dropout_matches_dense(small_graph):
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_tr), np.asarray(g_ref),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_edge_ids_symmetric_for_rectangular_asymmetric_windows():
+    """Edge-id span must be transpose-invariant even for rectangular
+    matrices packed with window_src != window (the sharded local
+    operators) — regression for an id mismatch that would silently
+    decorrelate fwd/bwd dropout masks."""
+    from ppnp_tpu.ops.pairchunks import transpose_pair
+
+    rng = np.random.RandomState(21)
+    a = sp.random(96, 600, density=0.05, random_state=rng, format="csr",
+                  dtype=np.float32)
+    pc = pair_chunks_from_scipy(a, window_src=512, use_native="never")
+    pc_t = transpose_pair(a, window_src=512, use_native="never")
+
+    def ids(p):
+        hi = np.asarray(p.eid_hi).T.reshape(-1).astype(np.int64)
+        lo = np.asarray(p.eid_lo).T.reshape(-1).astype(np.int64)
+        valid = np.asarray(p.e_w).T.reshape(-1) != 0
+        return np.sort(((hi << 32) | lo)[valid])
+
+    assert np.array_equal(ids(pc), ids(pc_t))
