@@ -165,3 +165,31 @@ def test_ell_packing_roundtrip(random_csr):
         for s in range(ell.max_slots):
             dense[r, cols[r, s]] += vals[r, s]
     np.testing.assert_allclose(dense[:70], mat.toarray(), rtol=1e-5)
+
+
+def test_dense_dropout_statistics_and_quantization():
+    """Packed-byte dropout: correct keep rate, exact inverted scaling at
+    p=0.5 (a multiple of 1/256), rank-1 and rank-2 shapes, determinism."""
+    from ppnp_tpu.ops.dropout import dropout
+
+    key = jax.random.PRNGKey(5)
+    x = jnp.ones((500, 333), jnp.float32)
+    m = np.asarray(dropout(key, x, 0.5))
+    kept = (m != 0).mean()
+    assert 0.47 < kept < 0.53
+    # survivors are exactly x / keep_q with keep_q = 0.5
+    assert set(np.unique(m)) <= {0.0, 2.0}
+    # deterministic per key
+    m2 = np.asarray(dropout(key, x, 0.5))
+    np.testing.assert_array_equal(m, m2)
+    # rank-1, non-multiple-of-4 length, p not a multiple of 1/256
+    x1 = jnp.ones((1001,), jnp.float32)
+    m1 = np.asarray(dropout(jax.random.PRNGKey(6), x1, 0.3))
+    keep_q = round(0.7 * 256) / 256
+    kept1 = (m1 != 0).mean()
+    assert abs(kept1 - keep_q) < 0.05
+    surv = np.unique(m1[m1 != 0])
+    np.testing.assert_allclose(surv, 1.0 / keep_q, rtol=1e-6)
+    # rate 0 is the identity
+    np.testing.assert_array_equal(
+        np.asarray(dropout(key, x, 0.0)), np.asarray(x))
