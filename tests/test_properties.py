@@ -86,3 +86,29 @@ def test_pair_chunk_invariants(n_rows, n_cols, density, seed):
     assert (mid_bd % pc.window == 0).all()
     assert seg_bs.max(initial=0) < max(pc.n_cols_pad, 1)
     assert mid_bd.max(initial=0) < max(pc.n_rows_pad, 1)
+
+
+def test_hashrng_matches_jax_threefry_and_is_uniform():
+    """ops/hashrng implements exactly jax.random's Threefry-2x32 (so the
+    edge-id-keyed masks inherit its statistical quality), and the stream
+    looks uniform."""
+    import jax
+    import jax.numpy as jnp
+    from jax._src import prng as jprng
+    from ppnp_tpu.ops.hashrng import threefry2x32, uniform_bits
+
+    k = jnp.asarray([0xDEADBEEF, 0x12345678], jnp.uint32)
+    n = 4096
+    c0 = jnp.arange(n, dtype=jnp.uint32)
+    c1 = jnp.arange(n, 2 * n, dtype=jnp.uint32)
+    ref = jprng.threefry_2x32(k, jnp.concatenate([c0, c1]))
+    m0, m1 = threefry2x32(k[0], k[1], c0, c1)
+    assert bool(jnp.all(m0 == ref[:n]) and jnp.all(m1 == ref[n:]))
+
+    bits = np.asarray(uniform_bits(jax.random.PRNGKey(3), c0, c1))
+    frac = (bits < np.uint32(2 ** 31)).mean()
+    assert 0.47 < frac < 0.53
+    # bytewise uniformity (the dropout threshold uses high-order bits)
+    hi = bits >> 24
+    counts = np.bincount(hi, minlength=256)
+    assert counts.min() > 0  # every byte value hit at n=4096

@@ -158,3 +158,16 @@ def test_sharded_pallas_grad_matches_xla(setup):
     g_x = jax.grad(loss(prop_x))(h0_pad)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_bench_scaling_smoke_cpu_mesh():
+    """bench_scaling runs functionally on the virtual CPU mesh (xla
+    backend; perf numbers are meaningless on CPU, shape/flow is not)."""
+    from ppnp_tpu.benchmarks import bench_scaling
+
+    res = bench_scaling(dataset="cora_ml", c=8, niter=2, iters=1,
+                        n_shards_list=[1, 2])
+    assert set(res["shards"]) == {1, 2}
+    for ns, row in res["shards"].items():
+        assert row["steps_per_s"] > 0
+        assert row["boundary_rows"] >= 1
