@@ -51,15 +51,20 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
             import numpy as np
             import jax.numpy as jnp
             from ppnp_tpu.ops.pairchunks import (slot_permutation,
+                                                 to_device,
                                                  transpose_pair)
             # Bandwidth-reducing reorder densifies window pairs (see
             # ppnp_tpu.kernels.spmm); the same row permutation must be
-            # used for the forward and transpose packings.
-            pc = pair_chunks_from_scipy(a_hat, reorder="rcm")
+            # used for the forward and transpose packings. Pack + slot
+            # permutation run host-side, ONE upload at the end (device
+            # round-trips are very slow on tunneled platforms).
+            pc = pair_chunks_from_scipy(a_hat, reorder="rcm",
+                                        device=False)
             row_perm = (np.asarray(pc.perm) if pc.perm is not None
                         else None)
-            pc_t = transpose_pair(a_hat, perm=row_perm)
+            pc_t = transpose_pair(a_hat, perm=row_perm, device=False)
             perm = jnp.asarray(slot_permutation(pc, pc_t))
+            pc, pc_t = to_device(pc), to_device(pc_t)
         return PPRPowerIteration(
             edges=edge_list_from_scipy(a_hat), pair_chunks=pc,
             pair_chunks_t=pc_t, w_perm=perm,

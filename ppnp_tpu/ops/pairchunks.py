@@ -46,7 +46,7 @@ from flax import struct
 from ppnp_tpu.utils.padding import round_up_to_multiple
 
 __all__ = ["PairChunks", "pair_chunks_from_scipy", "transpose_pair",
-           "slot_permutation", "rcm_permutation"]
+           "slot_permutation", "rcm_permutation", "to_device"]
 
 
 @struct.dataclass
@@ -112,6 +112,7 @@ def pair_chunks_from_scipy(
     reorder: Optional[str] = None,
     perm: Optional[np.ndarray] = None,
     edge_ids: Optional[str] = "direct",
+    device: bool = True,
 ) -> PairChunks:
     """Pack a scipy sparse matrix into PairChunks (host-side, runs once).
 
@@ -129,6 +130,11 @@ def pair_chunks_from_scipy(
     ``edge_ids``: attach canonical per-slot edge ids ("direct" for a
     forward packing, "transpose" for a packing of Mᵀ so ids match the
     forward packing's, None to skip) — see the ``eid_hi/eid_lo`` fields.
+
+    ``device=False`` returns numpy leaves (callers that post-process the
+    packing host-side — e.g. slot_permutation — upload once afterwards
+    with ``to_device``; device round-trips are very slow on tunneled
+    platforms).
     """
     if window_src is None:
         window_src = window
@@ -146,8 +152,8 @@ def pair_chunks_from_scipy(
         mat = mat.tocsr()[perm][:, perm]
         iperm = np.empty_like(perm)
         iperm[perm] = np.arange(len(perm))
-        perm_arrays = {"perm": jnp.asarray(perm, jnp.int32),
-                       "iperm": jnp.asarray(iperm, jnp.int32)}
+        perm_arrays = {"perm": perm.astype(np.int32),
+                       "iperm": iperm.astype(np.int32)}
     if use_native in ("auto", "require"):
         from ppnp_tpu import native
         csr = mat.tocsr()
@@ -162,11 +168,11 @@ def pair_chunks_from_scipy(
             n_mid = n_seg_pad // seg_per_mid
             mid_bd = seg_dw_rows.reshape(n_mid, seg_per_mid)[:, 0]
             pc = PairChunks(
-                seg_bs=jnp.asarray(seg_bs),
-                mid_bd=jnp.asarray(mid_bd),
-                e_src=jnp.asarray(e_src.T.copy()),
-                e_w=jnp.asarray(e_w.T.copy()),
-                e_dst=jnp.asarray(e_dst.reshape(n_mid, mid)),
+                seg_bs=np.asarray(seg_bs),
+                mid_bd=np.asarray(mid_bd),
+                e_src=e_src.T.copy(),
+                e_w=e_w.T.copy(),
+                e_dst=e_dst.reshape(n_mid, mid),
                 n_rows=n_rows,
                 n_rows_pad=round_up_to_multiple(n_rows, window),
                 n_cols_pad=round_up_to_multiple(n_cols, window_src),
@@ -174,7 +180,8 @@ def pair_chunks_from_scipy(
                 seg_per_mid=seg_per_mid, nnz=int(csr.nnz),
                 mids_per_step=mids_per_step, n_cols=n_cols,
                 **perm_arrays)
-            return _attach_edge_ids(pc, edge_ids)
+            pc = _attach_edge_ids(pc, edge_ids)
+            return to_device(pc) if device else pc
         if use_native == "require":
             raise RuntimeError("native packer unavailable "
                                "(csrc build failed and use_native='require')")
@@ -196,17 +203,18 @@ def pair_chunks_from_scipy(
         mid = chunk * seg_per_mid
         n_mid = mids_per_step
         n_seg_pad = n_mid * seg_per_mid
-        return _attach_edge_ids(PairChunks(
-            seg_bs=jnp.zeros(n_seg_pad, jnp.int32),
-            mid_bd=jnp.zeros(n_mid, jnp.int32),
-            e_src=jnp.zeros((chunk, n_seg_pad), jnp.int32),
-            e_w=jnp.zeros((chunk, n_seg_pad), jnp.float32),
-            e_dst=jnp.zeros((n_mid, mid), jnp.int32),
+        pc0 = _attach_edge_ids(PairChunks(
+            seg_bs=np.zeros(n_seg_pad, np.int32),
+            mid_bd=np.zeros(n_mid, np.int32),
+            e_src=np.zeros((chunk, n_seg_pad), np.int32),
+            e_w=np.zeros((chunk, n_seg_pad), np.float32),
+            e_dst=np.zeros((n_mid, mid), np.int32),
             n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
             window=window, window_src=window_src, chunk=chunk,
             seg_per_mid=seg_per_mid, nnz=0,
             mids_per_step=mids_per_step, n_cols=n_cols,
             **perm_arrays), edge_ids)
+        return to_device(pc0) if device else pc0
 
     order = np.lexsort((src, sw, dw))
     dst, src, w, dw, sw = dst[order], src[order], w[order], dw[order], sw[order]
@@ -290,17 +298,30 @@ def pair_chunks_from_scipy(
     mid_bd = seg_dw_rows.reshape(n_mid, seg_per_mid)[:, 0].astype(np.int32)
     e_dst = seg_dst.reshape(n_mid, mid).astype(np.int32)
 
-    return _attach_edge_ids(PairChunks(  # numpy path
-        seg_bs=jnp.asarray(seg_bs),
-        mid_bd=jnp.asarray(mid_bd),
-        e_src=jnp.asarray(seg_src.T.copy()),
-        e_w=jnp.asarray(seg_w.T.copy()),
-        e_dst=jnp.asarray(e_dst),
+    pc = _attach_edge_ids(PairChunks(  # numpy path
+        seg_bs=seg_bs,
+        mid_bd=mid_bd,
+        e_src=seg_src.T.copy(),
+        e_w=seg_w.T.copy(),
+        e_dst=e_dst,
         n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
         window=window, window_src=window_src, chunk=chunk,
         seg_per_mid=seg_per_mid, nnz=nnz,
         mids_per_step=mids_per_step, n_cols=n_cols,
         **perm_arrays), edge_ids)
+    return to_device(pc) if device else pc
+
+
+def to_device(pc: PairChunks) -> PairChunks:
+    """Upload all array leaves once, at the END of packing.
+
+    Packing stays in numpy throughout: device round-trips mid-pack are
+    catastrophically slow on remote-tunneled platforms (measured 480s
+    for a 900k-edge graph when _attach_edge_ids re-downloaded the
+    just-uploaded slot arrays).
+    """
+    import jax
+    return jax.tree.map(jnp.asarray, pc)
 
 
 def _attach_edge_ids(pc: PairChunks,
@@ -330,8 +351,8 @@ def _attach_edge_ids(pc: PairChunks,
     eid = np.where(valid, r.astype(np.int64) * span + c, 0)
     eid = eid.reshape(pc.n_seg, pc.chunk).T
     return pc.replace(
-        eid_hi=jnp.asarray((eid >> 32) & 0xFFFFFFFF, jnp.uint32),
-        eid_lo=jnp.asarray(eid & 0xFFFFFFFF, jnp.uint32))
+        eid_hi=((eid >> 32) & 0xFFFFFFFF).astype(np.uint32),
+        eid_lo=(eid & 0xFFFFFFFF).astype(np.uint32))
 
 
 def transpose_pair(mat: sp.spmatrix, edge_ids: Optional[str] = "transpose",

@@ -203,6 +203,10 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
     dst = np.asarray(sg.dst)
     src = np.asarray(sg.src)
     w = np.asarray(sg.w)
+    # Pack host-side; slot_permutation below reads the slot arrays, and
+    # device round-trips are very slow on tunneled platforms. The
+    # stacking step uploads everything once.
+    pack_kwargs.setdefault("device", False)
 
     pcs, pcts, perms = [], [], []
     for d in range(sg.n_shards):
