@@ -20,7 +20,7 @@ import numpy as np
 from ppnp_tpu.config import RunConfig
 from ppnp_tpu.builders import load_graph, resolve_alpha
 from ppnp_tpu.ops.normalize import calc_A_hat
-from ppnp_tpu.ops.pairchunks import pair_chunks_from_scipy
+from ppnp_tpu.ops.pairchunks import pair_chunks_banded
 from ppnp_tpu.ops.propagation import PPRPowerIteration
 from ppnp_tpu.ops.sparse import edge_list_from_scipy
 
@@ -98,7 +98,7 @@ def bench_propagation(
         "backends": {},
     }
     for backend in backends:
-        pc = (pair_chunks_from_scipy(a_hat, reorder="rcm")
+        pc = (pair_chunks_banded(a_hat, reorder="rcm")
               if backend == "pallas" else None)
         prop = PPRPowerIteration(edges=edges, pair_chunks=pc, alpha=alpha,
                                  niter=niter, backend=backend)
@@ -227,10 +227,20 @@ def bench_training(
                          seed=seed, print_interval=0,
                          epoch_chunk=chunk)
     wall = time.perf_counter() - t0
+    # Steady state = median per-epoch cost over the jitted epoch chunks
+    # (chunk dispatch + device work + the per-chunk metric download).
+    # Whole-call wall additionally carries per-call fixed costs — the
+    # 500MB X upload, host preprocessing — which are large and carry
+    # ±50% noise on the tunneled platform, so they are reported
+    # separately instead of polluting the per-epoch number.
+    per_epoch = sorted(s / n for n, s in res["chunk_times"])
+    steady = per_epoch[len(per_epoch) // 2]
     return {
         "dataset": dataset, "backend": backend, "epochs": epochs,
-        "epochs_per_s": epochs / wall,
-        "s_per_epoch": wall / epochs,
+        "epochs_per_s": 1.0 / steady,
+        "s_per_epoch": steady,
+        "fixed_overhead_s": wall - sum(s for _, s in res["chunk_times"]),
+        "wall_s": wall,
         "valtest_accuracy": res["valtest"]["accuracy"],
         "device": str(jax.devices()[0]),
     }

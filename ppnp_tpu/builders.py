@@ -50,7 +50,8 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
         if cfg.backend == "pallas":
             import numpy as np
             import jax.numpy as jnp
-            from ppnp_tpu.ops.pairchunks import (slot_permutation,
+            from ppnp_tpu.ops.pairchunks import (pair_chunks_banded,
+                                                 slot_permutation,
                                                  to_device,
                                                  transpose_pair)
             # Bandwidth-reducing reorder densifies window pairs (see
@@ -58,11 +59,13 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
             # used for the forward and transpose packings. Pack + slot
             # permutation run host-side, ONE upload at the end (device
             # round-trips are very slow on tunneled platforms).
-            pc = pair_chunks_from_scipy(a_hat, reorder="rcm",
-                                        device=False)
+            packer = (pair_chunks_banded if cfg.layout == "banded"
+                      else pair_chunks_from_scipy)
+            pc = packer(a_hat, reorder="rcm", device=False)
             row_perm = (np.asarray(pc.perm) if pc.perm is not None
                         else None)
-            pc_t = transpose_pair(a_hat, perm=row_perm, device=False)
+            pc_t = transpose_pair(a_hat, perm=row_perm, device=False,
+                                  layout=cfg.layout)
             perm = jnp.asarray(slot_permutation(pc, pc_t))
             pc, pc_t = to_device(pc), to_device(pc_t)
         return PPRPowerIteration(

@@ -35,6 +35,7 @@ class RunConfig:
     alpha: Optional[float] = None  # None → dataset default
     niter: int = 10
     backend: str = "xla"         # xla | pallas (power iteration SpMM)
+    layout: str = "banded"       # pallas packing: banded | aligned
     exchange: str = "alltoall"   # sharded: alltoall | allgather
     n_shards: Optional[int] = None  # sharded: None → all devices
 

@@ -52,7 +52,7 @@ _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 def _body(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
           src_ref, dst_ref, cbuf, *, k, i, window, window_src, chunk,
-          seg_per_mid, mids_per_step):
+          seg_per_mid, mids_per_step, align):
     """One grid step's worth of midchunks: dst_ref += A_w[block] @ src_ref.
 
     ``e_w_ref`` is this iteration's (1, chunk, sps) weight block.
@@ -64,7 +64,8 @@ def _body(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
     for m in range(mids_per_step):  # static unroll
         for j in range(seg_per_mid):  # static unroll
             s = m * seg_per_mid + j
-            bs = pl.multiple_of(seg_bs_ref[i * sps + s], window_src)
+            bs = pl.multiple_of(seg_bs_ref[i * sps + s],
+                                align or window_src)
             src = e_src_ref[0, :, s:s + 1]
             w = e_w_ref[0, :, s:s + 1]
             e = jnp.where(cols_e == src, w, 0.0)
@@ -72,7 +73,8 @@ def _body(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
             cm = jnp.dot(e, hs, preferred_element_type=jnp.float32)
             cbuf[j * chunk:(j + 1) * chunk, :] = cm
 
-        bd = pl.multiple_of(mid_bd_ref[i * mids_per_step + m], window)
+        bd = pl.multiple_of(mid_bd_ref[i * mids_per_step + m],
+                            align or window)
         dloc = e_dst_ref[m:m + 1, :]
         d_t = jnp.where(rows_d == dloc, 1.0, 0.0)
         contrib = jnp.dot(d_t, cbuf[:], preferred_element_type=jnp.float32)
@@ -82,7 +84,7 @@ def _body(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
 def _fused_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_dst_ref, e_w_ref,
                   h0_ref, out_ref, hbuf, cbuf, *,
                   niter, alpha, mode, window, window_src, chunk,
-                  seg_per_mid, mids_per_step):
+                  seg_per_mid, mids_per_step, align):
     k = pl.program_id(0)
     i = pl.program_id(1)
     adjoint = mode == "adjoint"
@@ -90,7 +92,7 @@ def _fused_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_dst_ref, e_w_ref,
     body = functools.partial(
         _body, seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
         k=k, i=i, window=window, window_src=window_src, chunk=chunk,
-        seg_per_mid=seg_per_mid, mids_per_step=mids_per_step)
+        seg_per_mid=seg_per_mid, mids_per_step=mids_per_step, align=align)
 
     # Buffer schedule. Iteration k writes W(k), reads W(k-1) (H⁰ at k=0).
     # forward: W(niter-1) must be out_ref → W(k) = out_ref iff
@@ -249,7 +251,8 @@ def appnp_fused(pc: PairChunks, h0: jnp.ndarray, *,
     kernel = functools.partial(
         _fused_kernel, niter=niter, alpha=alpha, mode=mode,
         window=pc.window, window_src=pc.window_src, chunk=chunk,
-        seg_per_mid=spm, mids_per_step=mids_per_step)
+        seg_per_mid=spm, mids_per_step=mids_per_step,
+        align=pc.align or None)
 
     hbuf_shape = ((2, n_pad, c) if mode == "adjoint" else (n_pad, c))
     out = pl.pallas_call(

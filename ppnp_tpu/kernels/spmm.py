@@ -36,6 +36,12 @@ scan so dispatch latency is hidden):
 - Bandwidth-reducing row reordering (RCM, see
   ``ppnp_tpu.ops.pairchunks.pair_chunks_from_scipy(reorder=...)``)
   densifies (dst,src)-window pairs and cuts padding slots ~7-30%.
+- The BANDED layout (``pair_chunks_banded``, the default) goes further:
+  window bases become sliding 8-aligned offsets (``pc.align == 8`` →
+  the ``pl.multiple_of`` hints relax to sublane alignment) and a wide
+  256-row dst band pools enough src locality that most 16-slot
+  segments pack full — 21% padding vs 43% aligned-grid on MS Academic,
+  ~13% fewer step-µs (docs/PERFORMANCE.md "Banded packing").
 
 HBM traffic per call ≈ edge stream (~12B/edge-slot) + H load + out store —
 the speed-of-light bytes from BASELINE.md — with all per-edge work done as
@@ -63,7 +69,7 @@ _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
                  h_ref, *rest,
                  window, window_src, chunk, seg_per_mid, mids_per_step,
-                 has_init):
+                 has_init, align):
     if has_init:
         init_ref, out_ref, cbuf = rest
     else:
@@ -84,7 +90,8 @@ def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
     for m in range(mids_per_step):  # static unroll
         for j in range(seg_per_mid):  # static unroll
             s = m * seg_per_mid + j
-            bs = pl.multiple_of(seg_bs_ref[pid * sps + s], window_src)
+            bs = pl.multiple_of(seg_bs_ref[pid * sps + s],
+                                align or window_src)
             src = e_src_ref[:, s:s + 1]           # (CHUNK, 1), static lane
             w = e_w_ref[:, s:s + 1]               # (CHUNK, 1)
             e = jnp.where(cols_e == src, w, 0.0)  # (CHUNK, W_src)
@@ -92,7 +99,8 @@ def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
             cm = jnp.dot(e, hs, preferred_element_type=jnp.float32)
             cbuf[j * chunk:(j + 1) * chunk, :] = cm
 
-        bd = pl.multiple_of(mid_bd_ref[pid * mids_per_step + m], window)
+        bd = pl.multiple_of(mid_bd_ref[pid * mids_per_step + m],
+                            align or window)
         dloc = e_dst_ref[m:m + 1, :]              # (1, MID), static sublane
         d_t = jnp.where(rows_d == dloc, 1.0, 0.0)  # (W, MID)
         contrib = jnp.dot(d_t, cbuf[:],
@@ -102,14 +110,16 @@ def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("mids_per_step", "interpret",
-                                    "assume_permuted", "keep_padded"))
+                                    "assume_permuted", "keep_padded",
+                                    "align"))
 def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
                      e_w: Optional[jnp.ndarray] = None,
                      init: Optional[jnp.ndarray] = None,
                      mids_per_step: Optional[int] = None,
                      interpret: bool = False,
                      assume_permuted: bool = False,
-                     keep_padded: bool = False) -> jnp.ndarray:
+                     keep_padded: bool = False,
+                     align: Optional[int] = None) -> jnp.ndarray:
     """``A @ H (+ init)`` through the Pallas kernel.
 
     - ``e_w`` optionally overrides the packed edge weights (same
@@ -128,6 +138,8 @@ def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
         e_w = pc.e_w
     if mids_per_step is None:
         mids_per_step = pc.mids_per_step
+    if align is None:
+        align = pc.align or None  # 0 = window-aligned grid packing
     if pc.perm is not None and not assume_permuted:
         h = jnp.take(h, pc.perm, axis=0)
         if init is not None:
@@ -165,7 +177,8 @@ def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
     grid = (n_mid // mids_per_step,)
     kernel = functools.partial(
         _spmm_kernel, window=window, window_src=pc.window_src, chunk=chunk,
-        seg_per_mid=spm, mids_per_step=mids_per_step, has_init=has_init)
+        seg_per_mid=spm, mids_per_step=mids_per_step, has_init=has_init,
+        align=align)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # seg_bs, unblocked

@@ -39,8 +39,11 @@ def heartbeat(mesh, axis: str = NODE_AXIS, timeout_s: float = 60.0) -> float:
 
     def f():
         # No inputs, replicated output: valid and addressable from every
-        # process in the multi-controller runtime.
-        return jax.lax.psum(jnp.float32(1.0), axis)
+        # process in the multi-controller runtime. An (8,) vector, not a
+        # scalar: the tunneled axon platform's single-element download
+        # path is pathologically slow (seconds per transfer — see
+        # train._host_scalars), and the heartbeat must stay cheap.
+        return jax.lax.psum(jnp.ones((8,), jnp.float32), axis)
 
     t0 = time.perf_counter()
     out = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=(),
@@ -49,7 +52,7 @@ def heartbeat(mesh, axis: str = NODE_AXIS, timeout_s: float = 60.0) -> float:
     elapsed = time.perf_counter() - t0
     if not np.allclose(total, n):
         raise RuntimeError(
-            f"heartbeat psum returned {float(total)}, expected {n} — "
+            f"heartbeat psum returned {total.tolist()}, expected {n} — "
             "a mesh participant is unhealthy")
     if elapsed > timeout_s:
         raise TimeoutError(

@@ -196,7 +196,8 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
     """
     import jax
     import jax.numpy as jnp
-    from ppnp_tpu.ops.pairchunks import (pair_chunks_from_scipy,
+    from ppnp_tpu.ops.pairchunks import (pair_chunks_banded,
+                                         pair_chunks_from_scipy,
                                          slot_permutation, transpose_pair)
 
     table_len = sg.shard_rows + sg.n_shards * sg.boundary
@@ -207,6 +208,9 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
     # device round-trips are very slow on tunneled platforms. The
     # stacking step uploads everything once.
     pack_kwargs.setdefault("device", False)
+    layout = pack_kwargs.pop("layout", "banded")
+    packer = (pair_chunks_banded if layout == "banded"
+              else pair_chunks_from_scipy)
 
     pcs, pcts, perms = [], [], []
     for d in range(sg.n_shards):
@@ -214,9 +218,9 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
         a_d = sp.coo_matrix(
             (w[d][real], (dst[d][real], src[d][real])),
             shape=(sg.shard_rows, table_len)).tocsr()
-        pcs.append(pair_chunks_from_scipy(a_d, **pack_kwargs))
+        pcs.append(packer(a_d, **pack_kwargs))
         if with_adjoint:
-            pc_t = transpose_pair(a_d, **pack_kwargs)
+            pc_t = transpose_pair(a_d, layout=layout, **pack_kwargs)
             perms.append(slot_permutation(pcs[-1], pc_t))
             pcts.append(pc_t)
 

@@ -56,6 +56,22 @@ def _densify_attributes(attr) -> np.ndarray:
     return np.asarray(attr, dtype=np.float32)
 
 
+def _host_scalars(*vals) -> np.ndarray:
+    """Download device scalars as ONE padded (≥8,) f32 transfer.
+
+    The tunneled axon platform's single-element device→host path is
+    pathologically slow (measured 2-90 s per transfer, vs ~27 ms for
+    anything ≥8 elements), so never pull ``float(x)``/``int(x)`` from a
+    device scalar directly — stack and pad first. Returns the values as
+    a host numpy array in argument order (ints survive exactly up to
+    2^24, fine for epoch counters).
+    """
+    arr = jnp.stack([jnp.ravel(jnp.asarray(v, jnp.float32))[0]
+                     for v in vals])
+    arr = jnp.pad(arr, (0, max(0, 8 - arr.shape[0])))
+    return np.asarray(arr)[:len(vals)]
+
+
 def _nll(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     rows = jnp.take_along_axis(log_probs, labels[:, None], axis=1)
     return -jnp.mean(rows)
@@ -254,6 +270,7 @@ def train_model(
 
     def _save(epoch, params, opt_state, best):
         from ppnp_tpu import checkpoint as ckpt_mod
+        b_acc, b_loss, b_epoch = _host_scalars(best[1], best[2], best[3])
         ckpt_mod.save_checkpoint(checkpoint_dir, epoch, {
             "params": params,
             "opt_state": opt_state,
@@ -261,9 +278,9 @@ def train_model(
             "early_stopping": {
                 "best_vals": np.asarray(early_stopping.best_vals),
                 "patience": early_stopping.patience,
-                "best_acc": float(best[1]),
-                "best_loss": float(best[2]),
-                "best_epoch": int(best[3]),
+                "best_acc": float(b_acc),
+                "best_loss": float(b_loss),
+                "best_epoch": int(b_epoch),
             },
             "best_state": best[0],
         })
@@ -271,13 +288,20 @@ def train_model(
     last_epoch = max(start_epoch - 1, 0)
     stop = False
     chunk_start = start_epoch
+    # Per-chunk (n_epochs, wall_s) pairs: the steady-state epoch cost.
+    # Whole-call wall time also includes per-call fixed costs (X upload,
+    # host preprocessing) that are large and NOISY on remote-tunneled
+    # platforms, so benchmarks read these instead (bench_training).
+    chunk_times: list = []
     while chunk_start < max_epochs and not stop:
+        t_chunk = time.perf_counter()
         count = min(epoch_chunk, max_epochs - chunk_start)
         pre = (params, opt_state, best)
         keys, epochs = chunk_keys(chunk_start, count)
         params, opt_state, best, ms = run_chunk(
             params, opt_state, best, keys, epochs)
         losses, accs, stop_losses = (np.asarray(m) for m in ms)
+        chunk_times.append((count, time.perf_counter() - t_chunk))
         # NaN guard (the purity/checkify analog of the reference's absent
         # sanitizers — SURVEY.md §5): fail fast with the offending epoch.
         if not np.isfinite(losses).all():
@@ -323,7 +347,7 @@ def train_model(
 
     runtime = time.time() - t_start
     best_params, _, _, best_epoch_dev = best
-    best_epoch = int(best_epoch_dev)
+    best_epoch = int(_host_scalars(best_epoch_dev)[0])
     if best_epoch >= 0:
         params = best_params  # restore best snapshot
     else:
@@ -344,6 +368,7 @@ def train_model(
     result.update(
         runtime=runtime,
         runtime_perepoch=runtime / max(nepochs, 1),
+        chunk_times=chunk_times,
         last_epoch=last_epoch,
         best_epoch=best_epoch,
         predictions=preds,
