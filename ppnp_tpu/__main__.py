@@ -36,6 +36,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--test", action="store_true",
                    help="evaluate on the held-out test population")
     p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--layout", default="banded",
+                   choices=["banded", "aligned"],
+                   help="pallas slot packing (docs/PERFORMANCE.md)")
     p.add_argument("--exchange", default="alltoall",
                    choices=["alltoall", "allgather"])
     p.add_argument("--n-shards", type=int, default=None)
@@ -49,7 +52,8 @@ def _cfg_from_args(args) -> RunConfig:
         drop_prob=args.drop_prob, learning_rate=args.lr,
         reg_lambda=args.reg_lambda, max_epochs=args.max_epochs,
         patience=args.patience, seed=args.seed, test=args.test,
-        backend=args.backend, exchange=args.exchange,
+        backend=args.backend, layout=getattr(args, "layout", "banded"),
+        exchange=args.exchange,
         n_shards=args.n_shards, print_interval=args.print_interval,
         metrics_path=getattr(args, "metrics_out", None),
         checkpoint_dir=getattr(args, "checkpoint_dir", None),

@@ -228,13 +228,15 @@ def bench_training(
                          epoch_chunk=chunk)
     wall = time.perf_counter() - t0
     # Steady state = median per-epoch cost over the jitted epoch chunks
-    # (chunk dispatch + device work + the per-chunk metric download).
+    # (chunk dispatch + device work + the per-chunk metric download),
+    # discarding the first chunk as warm-up when more than one ran.
     # Whole-call wall additionally carries per-call fixed costs — the
     # 500MB X upload, host preprocessing — which are large and carry
     # ±50% noise on the tunneled platform, so they are reported
     # separately instead of polluting the per-epoch number.
-    per_epoch = sorted(s / n for n, s in res["chunk_times"])
-    steady = per_epoch[len(per_epoch) // 2]
+    chunks = res["chunk_times"][1:] or res["chunk_times"]
+    per_epoch = sorted(s / n for n, s in chunks)
+    steady = per_epoch[(len(per_epoch) - 1) // 2]
     return {
         "dataset": dataset, "backend": backend, "epochs": epochs,
         "epochs_per_s": 1.0 / steady,

@@ -18,7 +18,6 @@ from ppnp_tpu.data.datasets import DATASETS, load_dataset
 from ppnp_tpu.data.sparsegraph import SparseGraph
 from ppnp_tpu.ops.exact import PPRExact, calc_ppr_exact
 from ppnp_tpu.ops.normalize import calc_A_hat
-from ppnp_tpu.ops.pairchunks import pair_chunks_from_scipy
 from ppnp_tpu.ops.propagation import PPRPowerIteration
 from ppnp_tpu.ops.sparse import edge_list_from_scipy
 
@@ -50,7 +49,7 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
         if cfg.backend == "pallas":
             import numpy as np
             import jax.numpy as jnp
-            from ppnp_tpu.ops.pairchunks import (pair_chunks_banded,
+            from ppnp_tpu.ops.pairchunks import (packer_for,
                                                  slot_permutation,
                                                  to_device,
                                                  transpose_pair)
@@ -59,9 +58,7 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
             # used for the forward and transpose packings. Pack + slot
             # permutation run host-side, ONE upload at the end (device
             # round-trips are very slow on tunneled platforms).
-            packer = (pair_chunks_banded if cfg.layout == "banded"
-                      else pair_chunks_from_scipy)
-            pc = packer(a_hat, reorder="rcm", device=False)
+            pc = packer_for(cfg.layout)(a_hat, reorder="rcm", device=False)
             row_perm = (np.asarray(pc.perm) if pc.perm is not None
                         else None)
             pc_t = transpose_pair(a_hat, perm=row_perm, device=False,

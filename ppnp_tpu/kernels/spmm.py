@@ -110,16 +110,14 @@ def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("mids_per_step", "interpret",
-                                    "assume_permuted", "keep_padded",
-                                    "align"))
+                                    "assume_permuted", "keep_padded"))
 def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
                      e_w: Optional[jnp.ndarray] = None,
                      init: Optional[jnp.ndarray] = None,
                      mids_per_step: Optional[int] = None,
                      interpret: bool = False,
                      assume_permuted: bool = False,
-                     keep_padded: bool = False,
-                     align: Optional[int] = None) -> jnp.ndarray:
+                     keep_padded: bool = False) -> jnp.ndarray:
     """``A @ H (+ init)`` through the Pallas kernel.
 
     - ``e_w`` optionally overrides the packed edge weights (same
@@ -138,8 +136,9 @@ def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
         e_w = pc.e_w
     if mids_per_step is None:
         mids_per_step = pc.mids_per_step
-    if align is None:
-        align = pc.align or None  # 0 = window-aligned grid packing
+    # pc.align is authoritative: 0 = window-aligned grid packing, 8 =
+    # banded sliding bases (pl.multiple_of must not over-promise).
+    align = pc.align or None
     if pc.perm is not None and not assume_permuted:
         h = jnp.take(h, pc.perm, axis=0)
         if init is not None:

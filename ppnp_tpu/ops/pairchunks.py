@@ -46,8 +46,8 @@ from flax import struct
 from ppnp_tpu.utils.padding import round_up_to_multiple
 
 __all__ = ["PairChunks", "pair_chunks_from_scipy", "pair_chunks_banded",
-           "transpose_pair", "slot_permutation", "rcm_permutation",
-           "to_device"]
+           "packer_for", "transpose_pair", "slot_permutation",
+           "rcm_permutation", "to_device"]
 
 
 @struct.dataclass
@@ -363,6 +363,7 @@ def pair_chunks_banded(
     if window % 8 or window_src % 8:
         raise ValueError("windows must be sublane (8) aligned")
     mat = mat.tocoo()
+    mat.sum_duplicates()  # one slot per coordinate (edge-id contract)
     dst = mat.row.astype(np.int64)
     src = mat.col.astype(np.int64)
     w = mat.data.astype(np.float32)
@@ -508,6 +509,16 @@ def _attach_edge_ids(pc: PairChunks,
         eid_lo=(eid & 0xFFFFFFFF).astype(np.uint32))
 
 
+def packer_for(layout: str):
+    """The packing function for a layout name ("banded" | "aligned")."""
+    if layout == "banded":
+        return pair_chunks_banded
+    if layout == "aligned":
+        return pair_chunks_from_scipy
+    raise ValueError(f"unknown pair-chunk layout {layout!r} "
+                     "(expected 'banded' or 'aligned')")
+
+
 def transpose_pair(mat: sp.spmatrix, edge_ids: Optional[str] = "transpose",
                    layout: str = "aligned", **kwargs) -> PairChunks:
     """Pack Âᵀ (for the SpMM adjoint — the backward pass's operator).
@@ -516,9 +527,7 @@ def transpose_pair(mat: sp.spmatrix, edge_ids: Optional[str] = "transpose",
     masks regenerate identically in both packings. ``layout`` picks the
     packer: "aligned" grid or "banded" sliding windows.
     """
-    packer = (pair_chunks_banded if layout == "banded"
-              else pair_chunks_from_scipy)
-    return packer(mat.T.tocsr(), edge_ids=edge_ids, **kwargs)
+    return packer_for(layout)(mat.T.tocsr(), edge_ids=edge_ids, **kwargs)
 
 
 def _slot_coords(pc: PairChunks):

@@ -196,9 +196,8 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
     """
     import jax
     import jax.numpy as jnp
-    from ppnp_tpu.ops.pairchunks import (pair_chunks_banded,
-                                         pair_chunks_from_scipy,
-                                         slot_permutation, transpose_pair)
+    from ppnp_tpu.ops.pairchunks import (packer_for, slot_permutation,
+                                         transpose_pair)
 
     table_len = sg.shard_rows + sg.n_shards * sg.boundary
     dst = np.asarray(sg.dst)
@@ -209,8 +208,7 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
     # stacking step uploads everything once.
     pack_kwargs.setdefault("device", False)
     layout = pack_kwargs.pop("layout", "banded")
-    packer = (pair_chunks_banded if layout == "banded"
-              else pair_chunks_from_scipy)
+    packer = packer_for(layout)
 
     pcs, pcts, perms = [], [], []
     for d in range(sg.n_shards):
