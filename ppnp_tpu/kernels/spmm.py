@@ -39,9 +39,9 @@ scan so dispatch latency is hidden):
 - The BANDED layout (``pair_chunks_banded``, the default) goes further:
   window bases become sliding 8-aligned offsets (``pc.align == 8`` →
   the ``pl.multiple_of`` hints relax to sublane alignment) and a wide
-  256-row dst band pools enough src locality that most 16-slot
-  segments pack full — 21% padding vs 43% aligned-grid on MS Academic,
-  ~13% fewer step-µs (docs/PERFORMANCE.md "Banded packing").
+  256-row dst band pools enough src locality that most chunk=24
+  segments pack full — 293→239 µs/step on MS Academic
+  (docs/PERFORMANCE.md "Banded packing").
 
 HBM traffic per call ≈ edge stream (~12B/edge-slot) + H load + out store —
 the speed-of-light bytes from BASELINE.md — with all per-edge work done as

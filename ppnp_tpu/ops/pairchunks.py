@@ -322,8 +322,8 @@ def pair_chunks_banded(
     mat: sp.spmatrix,
     window: int = 256,
     window_src: int = 128,
-    chunk: int = 16,
-    seg_per_mid: int = 64,
+    chunk: int = 24,
+    seg_per_mid: int = 32,
     mids_per_step: int = 16,
     reorder: Optional[str] = None,
     perm: Optional[np.ndarray] = None,
@@ -350,10 +350,12 @@ def pair_chunks_banded(
       band's base.
 
     The wide dst band (256 rows ≈ 2-3k edges on these graphs) pools
-    enough srcs that nearly every 16-slot segment is full: measured
-    21% padding vs 43% aligned on MS Academic, 293→256 µs/step on
-    v5e (see docs/PERFORMANCE.md). The scatter one-hot area grows with
-    ``window``, which is why 256 beats both 128 and 384+.
+    enough srcs that most segments pack full: 27% padding vs 43%
+    aligned on MS Academic at the chunk=24 default, 293→239 µs/step
+    on v5e (see docs/PERFORMANCE.md). The scatter one-hot area grows
+    with ``window``, which is why 256 beats both 128 and 384+; the
+    odd chunk=24 wins over 16/32 on every measured graph (the gather
+    dot's fixed issue cost favors more rows, pad growth caps it).
 
     Produces the same PairChunks contract as ``pair_chunks_from_scipy``
     (slot coords = base + local offset), so ``slot_permutation``,
