@@ -82,7 +82,8 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
                     n_shards, sg.shard_rows, sg.boundary, sg.edges_pad)
         pc = pc_t = w_perm = None
         if cfg.backend == "pallas":
-            pc, pc_t, w_perm = build_sharded_pair_chunks(sg)
+            pc, pc_t, w_perm = build_sharded_pair_chunks(
+                sg, layout=cfg.layout)
         return ShardedPowerIteration(
             graph=sg, mesh=mesh, pair_chunks=pc, pair_chunks_t=pc_t,
             w_perm=w_perm, alpha=alpha, niter=cfg.niter,

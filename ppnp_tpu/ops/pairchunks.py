@@ -107,6 +107,30 @@ def rcm_permutation(mat: sp.spmatrix) -> np.ndarray:
                                             symmetric_mode=True))
 
 
+def _resolve_perm(mat: sp.spmatrix, reorder: Optional[str],
+                  perm: Optional[np.ndarray]) -> Optional[np.ndarray]:
+    """One perm/reorder semantics for BOTH packers: exclusive args,
+    square-only, length-checked. Returns the row/col permutation
+    (packed position -> original index) or None."""
+    if reorder is not None and perm is not None:
+        raise ValueError("pass either reorder or perm, not both")
+    if reorder is not None:
+        if reorder != "rcm":
+            raise ValueError(f"unknown reorder {reorder!r}")
+        if mat.shape[0] != mat.shape[1]:
+            raise ValueError("reorder requires a square matrix")
+        return rcm_permutation(mat)
+    if perm is not None:
+        perm = np.asarray(perm)
+        if mat.shape[0] != mat.shape[1]:
+            raise ValueError("perm packing requires a square matrix")
+        if len(perm) != mat.shape[0]:
+            raise ValueError(f"perm has {len(perm)} entries for a "
+                             f"{mat.shape[0]}-row matrix")
+        return perm
+    return None
+
+
 def pair_chunks_from_scipy(
     mat: sp.spmatrix,
     window: int = 128,
@@ -144,17 +168,9 @@ def pair_chunks_from_scipy(
     """
     if window_src is None:
         window_src = window
-    if reorder is not None and perm is None:
-        if reorder != "rcm":
-            raise ValueError(f"unknown reorder {reorder!r}")
-        if mat.shape[0] != mat.shape[1]:
-            raise ValueError("reorder requires a square matrix")
-        perm = rcm_permutation(mat)
+    perm = _resolve_perm(mat, reorder, perm)
     perm_arrays = {}
     if perm is not None:
-        perm = np.asarray(perm)
-        if mat.shape[0] != mat.shape[1]:
-            raise ValueError("perm packing requires a square matrix")
         mat = mat.tocsr()[perm][:, perm]
         iperm = np.empty_like(perm)
         iperm[perm] = np.arange(len(perm))
@@ -362,6 +378,8 @@ def pair_chunks_banded(
     edge-id dropout and the shard stacker work unchanged; ``align=8``
     tells the kernel the bases are only 8-aligned (f32 sublane).
     """
+    if window_src is None:
+        window_src = window
     if window % 8 or window_src % 8:
         raise ValueError("windows must be sublane (8) aligned")
     mat = mat.tocoo()
@@ -370,17 +388,9 @@ def pair_chunks_banded(
     src = mat.col.astype(np.int64)
     w = mat.data.astype(np.float32)
     n_rows, n_cols = mat.shape
+    perm = _resolve_perm(mat, reorder, perm)
     perm_arrays = {}
-    if reorder is not None:
-        if perm is not None:
-            raise ValueError("pass either reorder or perm, not both")
-        if reorder != "rcm":
-            raise ValueError(f"unknown reorder {reorder!r}")
-        if n_rows != n_cols:
-            raise ValueError("reorder requires a square matrix")
-        perm = rcm_permutation(mat.tocsr())
     if perm is not None:
-        perm = np.asarray(perm)
         iperm = np.empty_like(perm)
         iperm[perm] = np.arange(len(perm))
         dst, src = iperm[dst], iperm[src]
@@ -522,12 +532,15 @@ def packer_for(layout: str):
 
 
 def transpose_pair(mat: sp.spmatrix, edge_ids: Optional[str] = "transpose",
-                   layout: str = "aligned", **kwargs) -> PairChunks:
+                   layout: str = "banded", **kwargs) -> PairChunks:
     """Pack Âᵀ (for the SpMM adjoint — the backward pass's operator).
 
     Edge ids default to the "transpose" orientation so per-edge dropout
     masks regenerate identically in both packings. ``layout`` picks the
-    packer: "aligned" grid or "banded" sliding windows.
+    packer ("banded" sliding windows — the system default — or the
+    "aligned" grid) and must match the forward packing's layout: a
+    mismatch still computes correctly (slot permutation and edge ids
+    are layout-independent) but silently runs the slower geometry.
     """
     return packer_for(layout)(mat.T.tocsr(), edge_ids=edge_ids, **kwargs)
 

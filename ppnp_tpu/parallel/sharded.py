@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ppnp_tpu.ops.dropout import edge_dropout
+from ppnp_tpu.ops.dropout import edge_dropout, edge_dropout_by_id
 from ppnp_tpu.parallel.mesh import NODE_AXIS
 from ppnp_tpu.parallel.partition import ShardedGraph
 

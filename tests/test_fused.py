@@ -37,7 +37,7 @@ def setup():
     a = sp.random(300, 300, density=0.02, random_state=rng, format="csr",
                   dtype=np.float32)
     pc = pair_chunks_from_scipy(a, use_native="never")
-    pc_t = transpose_pair(a, use_native="never")
+    pc_t = transpose_pair(a, layout="aligned", use_native="never")
     w_perm = jnp.asarray(slot_permutation(pc, pc_t))
     h0 = jnp.pad(jnp.asarray(rng.randn(300, 8).astype(np.float32)),
                  ((0, pc.n_rows_pad - 300), (0, 0)))

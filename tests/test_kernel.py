@@ -138,7 +138,7 @@ def test_spmm_grad_transpose_packing():
                   dtype=np.float32)
     h0 = jnp.asarray(rng.randn(300, 8).astype(np.float32))
     pc = pair_chunks_from_scipy(a)
-    pc_t = transpose_pair(a)
+    pc_t = transpose_pair(a, layout="aligned")
     perm = jnp.asarray(slot_permutation(pc, pc_t))
 
     interp = functools.partial(spmm_mod.spmm_pair_chunks, interpret=True)
@@ -243,7 +243,7 @@ def test_propagation_pallas_reordered_matches_xla(small_graph):
     a_hat = calc_A_hat(small_graph.adj_matrix)
     edges = edge_list_from_scipy(a_hat)
     pc = pair_chunks_from_scipy(a_hat, reorder="rcm")
-    pc_t = transpose_pair(a_hat, perm=np.asarray(pc.perm))
+    pc_t = transpose_pair(a_hat, perm=np.asarray(pc.perm), layout="aligned")
     w_perm = jnp.asarray(slot_permutation(pc, pc_t))
 
     rng = np.random.RandomState(3)
@@ -290,7 +290,7 @@ def test_edge_dropout_by_id_consistent_across_packings():
     a = sp.random(300, 300, density=0.02, random_state=rng, format="csr",
                   dtype=np.float32)
     pc = pair_chunks_from_scipy(a, use_native="never")
-    pc_t = transpose_pair(a, use_native="never")
+    pc_t = transpose_pair(a, layout="aligned", use_native="never")
     key = jax.random.PRNGKey(42)
     w = np.asarray(edge_dropout_by_id(key, pc, 0.5))
     w_t = np.asarray(edge_dropout_by_id(key, pc_t, 0.5))
@@ -324,7 +324,7 @@ def test_spmm_grad_id_dropout_matches_dense(small_graph):
 
     a_hat = calc_A_hat(small_graph.adj_matrix)
     pc = pair_chunks_from_scipy(a_hat, use_native="never")
-    pc_t = transpose_pair(a_hat, use_native="never")
+    pc_t = transpose_pair(a_hat, layout="aligned", use_native="never")
     w_perm = jnp.asarray(slot_permutation(pc, pc_t))
     key = jax.random.PRNGKey(7)
     n = a_hat.shape[0]
@@ -375,7 +375,7 @@ def test_edge_ids_symmetric_for_rectangular_asymmetric_windows():
     a = sp.random(96, 600, density=0.05, random_state=rng, format="csr",
                   dtype=np.float32)
     pc = pair_chunks_from_scipy(a, window_src=512, use_native="never")
-    pc_t = transpose_pair(a, window_src=512, use_native="never")
+    pc_t = transpose_pair(a, layout="aligned", window_src=512, use_native="never")
 
     def ids(p):
         hi = np.asarray(p.eid_hi).T.reshape(-1).astype(np.int64)

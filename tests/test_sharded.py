@@ -160,6 +160,37 @@ def test_sharded_pallas_grad_matches_xla(setup):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_sharded_pallas_train_dropout_runs(setup):
+    """Train-mode (id-keyed edge dropout) through the sharded pallas
+    path: regression for edge_dropout_by_id not being imported in
+    sharded.py (the trace raised NameError). Statistical correctness of
+    the masks is covered elsewhere; this asserts the path traces, runs
+    and stays finite with a key and drop_prob > 0."""
+    import functools
+    from unittest import mock
+    from ppnp_tpu.kernels import spmm as spmm_mod
+    from ppnp_tpu.parallel.partition import build_sharded_pair_chunks
+
+    a_hat, h0, _ = setup
+    nd = 2
+    mesh = make_mesh(n_devices=nd)
+    sg = build_sharded_graph(a_hat, n_shards=nd)
+    pc, pc_t, w_perm = build_sharded_pair_chunks(sg, use_native="never")
+    prop = ShardedPowerIteration(graph=sg, mesh=mesh, pair_chunks=pc,
+                                 pair_chunks_t=pc_t, w_perm=w_perm,
+                                 alpha=0.1, niter=3, drop_prob=0.5,
+                                 backend="pallas")
+    h0_pad = jnp.asarray(np.pad(h0, ((0, sg.n_pad - h0.shape[0]), (0, 0))))
+    interp = functools.partial(spmm_mod.spmm_pair_chunks, interpret=True)
+    with mock.patch.object(spmm_mod, "spmm_pair_chunks", interp):
+        z = prop(h0_pad, train=True, key=jax.random.PRNGKey(3))
+        g = jax.grad(lambda h: jnp.sum(
+            prop(h, train=True, key=jax.random.PRNGKey(3)) ** 2))(h0_pad)
+    assert np.isfinite(np.asarray(z)).all()
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
 def test_bench_scaling_smoke_cpu_mesh():
     """bench_scaling runs functionally on the virtual CPU mesh (xla
     backend; perf numbers are meaningless on CPU, shape/flow is not)."""
