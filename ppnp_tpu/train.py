@@ -95,7 +95,7 @@ def get_predictions(params, x: jnp.ndarray, propagator) -> np.ndarray:
 
 @functools.partial(
     jax.jit, static_argnames=("learning_rate", "reg_lambda", "drop_prob"))
-def _run_chunk(params, opt_state, best, keys, epochs, x,
+def _run_chunk(params, opt_state, best, keys, epochs, limit, x,
                idx_train, y_train, idx_stop, y_stop, propagator, *,
                learning_rate, reg_lambda, drop_prob):
     """`len(keys)` training epochs in ONE compiled lax.scan.
@@ -108,6 +108,15 @@ def _run_chunk(params, opt_state, best, keys, epochs, x,
     per-epoch dispatch and per-seed compilation would otherwise dominate
     small-graph training.
 
+    SHAPE-STABLE: callers always pass exactly ``epoch_chunk`` scan steps
+    and a traced scalar ``limit``; epochs >= limit are masked to no-ops
+    (state and best-snapshot updates suppressed). One executable thus
+    serves full chunks, the final remainder, and the early-stopping
+    replay — avoiding a fresh XLA compile per odd chunk length (tens of
+    seconds each, and the tunneled backend has been observed to wedge
+    when a second differently-shaped compile of this program executes
+    in one process).
+
     The best parameter snapshot (highest stopping acc, ties → lower loss
     — the reference's remember rule) is tracked ON DEVICE inside the
     scan so chunking never loses the exact best epoch.
@@ -117,6 +126,7 @@ def _run_chunk(params, opt_state, best, keys, epochs, x,
     def epoch_body(carry, key_epoch):
         params, opt_state, best = carry
         key, epoch = key_epoch
+        active = epoch < limit
 
         def loss_fn(p):
             logp = ppnp_forward(p, x, propagator, idx_train, key=key,
@@ -124,17 +134,21 @@ def _run_chunk(params, opt_state, best, keys, epochs, x,
             return _nll(logp, y_train) + (reg_lambda / 2.0) * l2_reg(p)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
+        updates, new_opt_state = optimizer.update(grads, opt_state)
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree.map(lambda n, o: jnp.where(active, n, o),
+                              new_params, params)
+        opt_state = jax.tree.map(lambda n, o: jnp.where(active, n, o),
+                                 new_opt_state, opt_state)
 
         logp = ppnp_forward(params, x, propagator, idx_stop, train=False)
         stop_loss = _nll(logp, y_stop)
         stop_acc = jnp.mean(jnp.argmax(logp, axis=-1) == y_stop)
 
         best_params, best_acc, best_loss, best_epoch = best
-        improved = jnp.logical_or(
+        improved = jnp.logical_and(active, jnp.logical_or(
             stop_acc > best_acc,
-            jnp.logical_and(stop_acc == best_acc, stop_loss < best_loss))
+            jnp.logical_and(stop_acc == best_acc, stop_loss < best_loss)))
         best = (
             jax.tree.map(lambda b, p: jnp.where(improved, p, b),
                          best_params, params),
@@ -214,14 +228,17 @@ def train_model(
     # Epoch-chunked training: `epoch_chunk` epochs run inside ONE compiled
     # lax.scan call (see _run_chunk — shared/cached across train_model
     # calls so seed sweeps compile once).
-    def run_chunk(params, opt_state, best, keys, epochs):
-        return _run_chunk(params, opt_state, best, keys, epochs, x,
+    def run_chunk(params, opt_state, best, keys, epochs, limit):
+        return _run_chunk(params, opt_state, best, keys, epochs,
+                          jnp.int32(limit), x,
                           idx_train, y_train, idx_stop, y_stop, propagator,
                           learning_rate=learning_rate,
                           reg_lambda=reg_lambda, drop_prob=drop_prob)
 
-    def chunk_keys(e0, count):
-        epochs = jnp.arange(e0, e0 + count)
+    def chunk_keys(e0):
+        # Always epoch_chunk-wide (shape-stable — see _run_chunk): the
+        # trailing epochs past `limit` are masked no-ops inside the scan.
+        epochs = jnp.arange(e0, e0 + epoch_chunk)
         keys = jax.vmap(lambda e: jax.random.fold_in(key_epochs, e))(epochs)
         return keys, epochs
 
@@ -297,10 +314,10 @@ def train_model(
         t_chunk = time.perf_counter()
         count = min(epoch_chunk, max_epochs - chunk_start)
         pre = (params, opt_state, best)
-        keys, epochs = chunk_keys(chunk_start, count)
+        keys, epochs = chunk_keys(chunk_start)
         params, opt_state, best, ms = run_chunk(
-            params, opt_state, best, keys, epochs)
-        losses, accs, stop_losses = (np.asarray(m) for m in ms)
+            params, opt_state, best, keys, epochs, chunk_start + count)
+        losses, accs, stop_losses = (np.asarray(m)[:count] for m in ms)
         chunk_times.append((count, time.perf_counter() - t_chunk))
         # NaN guard (the purity/checkify analog of the reference's absent
         # sanitizers — SURVEY.md §5): fail fast with the offending epoch.
@@ -336,9 +353,10 @@ def train_model(
                 # stops exactly at the stopping epoch (the reference never
                 # sees post-stop epochs — SURVEY.md §3.1).
                 params, opt_state, best = pre
-                keys, epochs = chunk_keys(chunk_start, stop_at + 1)
+                keys, epochs = chunk_keys(chunk_start)
                 params, opt_state, best, _ = run_chunk(
-                    params, opt_state, best, keys, epochs)
+                    params, opt_state, best, keys, epochs,
+                    chunk_start + stop_at + 1)
         if checkpoint_dir is not None and (
                 stop or (chunk_start // checkpoint_every)
                 != ((last_epoch + 1) // checkpoint_every)):
