@@ -11,6 +11,7 @@ the reference's mixed dropout.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -39,7 +40,7 @@ def dropout(key: jax.Array, x: jnp.ndarray, rate: float) -> jnp.ndarray:
     nwords = -(-last // 4)
     words = jax.random.bits(key, lead + (nwords,), dtype=jnp.uint32)
     shifts = jnp.arange(0, 32, 8, dtype=jnp.uint32)
-    bytes_ = ((words[..., None] >> shifts) & jnp.uint32(0xFF)) \
+    bytes_ = ((words[..., None] >> shifts) & np.uint32(0xFF)) \
         .astype(jnp.uint8)
     flat = bytes_.reshape(lead + (4 * nwords,))[..., :last]
     return jnp.where(flat < jnp.uint8(thresh), x / keep_q,
@@ -68,6 +69,6 @@ def edge_dropout_by_id(key: jax.Array, pc, rate: float) -> jnp.ndarray:
     from ppnp_tpu.ops.hashrng import uniform_bits
     keep = 1.0 - rate
     bits = uniform_bits(key, pc.eid_hi, pc.eid_lo)
-    thresh = jnp.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
+    thresh = np.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
     return jnp.where(bits < thresh, pc.e_w / keep,
                      jnp.zeros_like(pc.e_w))

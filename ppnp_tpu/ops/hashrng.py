@@ -17,13 +17,20 @@ determinism depends only on (key, edge id), not on slot order.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["threefry2x32", "uniform_bits"]
 
 _ROT_A = (13, 15, 26, 6)
 _ROT_B = (17, 29, 16, 24)
-_PARITY = jnp.uint32(0x1BD11BDA)
+# numpy (not device) constant: a module-level device array would
+# be re-lifted as a fresh constant per trace, and a uint32 scalar
+# appearing in many traces is exactly the shape of value that JAX
+# constant caches can hand back as a STALE tracer across traces
+# (seen as 'Shouldn't have any non-shard_map tracers' in
+# grad-of-shard_map after an eager forward).
+_PARITY = np.uint32(0x1BD11BDA)
 
 
 def _rotl(x, r):
@@ -55,7 +62,7 @@ def threefry2x32(k0, k1, c0, c1):
     for i, rots in enumerate((_ROT_A, _ROT_B, _ROT_A, _ROT_B, _ROT_A)):
         x0, x1 = _rounds(x0, x1, rots)
         x0 = x0 + ks[(i + 1) % 3]
-        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+        x1 = x1 + ks[(i + 2) % 3] + np.uint32(i + 1)
     return x0, x1
 
 
