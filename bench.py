@@ -21,6 +21,8 @@ import sys
 def main() -> int:
     import logging
     logging.basicConfig(level=logging.WARNING)
+    from ppnp_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
     from ppnp_tpu.benchmarks import bench_propagation
 
     res = bench_propagation(dataset="ms_academic", c=128, niter=100,

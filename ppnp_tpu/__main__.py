@@ -178,6 +178,8 @@ def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+    from ppnp_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="ppnp_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

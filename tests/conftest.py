@@ -18,6 +18,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+from ppnp_tpu.utils.compcache import enable_compilation_cache  # noqa: E402
+
+# Persistent compile cache: slow XLA:CPU compiles (sharded train steps,
+# pallas interpreter programs) skip recompilation across suite runs.
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import scipy.sparse as sp  # noqa: E402
