@@ -146,3 +146,30 @@ def test_tensorboard_tee_writer(tmp_path):
     assert rows[1]["event"] == "final"
     assert any(f.name.startswith("events.out.tfevents")
                for f in tmp_path.iterdir())
+
+
+def test_compilation_cache_config(tmp_path, monkeypatch):
+    """enable_compilation_cache points JAX at a usable repo-local dir.
+
+    The cache is the mitigation for this platform's noisy remote
+    compiles (the same HLO measured 6.5s-580s+ across runs); every
+    entry point calls this helper, so its config contract is load-
+    bearing for bench reproducibility.
+    """
+    import jax
+
+    from ppnp_tpu.utils.compcache import enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        target = tmp_path / "cache"
+        monkeypatch.setenv("PPNP_TPU_JAX_CACHE", str(target))
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+        assert target.is_dir()
+        # explicit argument beats the env var
+        target2 = tmp_path / "cache2"
+        enable_compilation_cache(str(target2))
+        assert jax.config.jax_compilation_cache_dir == str(target2)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
