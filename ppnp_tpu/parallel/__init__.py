@@ -16,7 +16,8 @@ The MLP feature tower needs no code here: it is data-parallel over the
 node axis via GSPMD (``NamedSharding`` on X and the jitted train step).
 """
 
-from ppnp_tpu.parallel.mesh import make_mesh  # noqa: F401
+from ppnp_tpu.parallel.health import assert_devices_healthy  # noqa: F401
+from ppnp_tpu.parallel.mesh import initialize_distributed, make_mesh  # noqa: F401
 from ppnp_tpu.parallel.partition import (  # noqa: F401
     ShardedGraph, build_sharded_graph,
 )
