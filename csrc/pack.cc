@@ -112,3 +112,238 @@ int64_t ppnp_pack_fill(int64_t n_rows, int64_t n_cols,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Banded (sliding-window) packer — native twin of
+// ppnp_tpu/ops/pairchunks.py::pair_chunks_banded. Inputs are the
+// deduplicated COO edges ALREADY lexsorted by (dst, src) (the Python
+// wrapper sorts; numpy's lexsort is fast). The band walk, per-band stable
+// src sort, and greedy segment cut replicate the numpy code exactly
+// (stable sort ⇒ bit-identical slot layout), so the two paths are tested
+// for array equality, not just math equivalence.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Shared band walk: calls per-band `emit(i, j, bd, order)` where
+// [i, j) is the band's edge range, bd its dst base, and `order` the
+// band-local stable src order. Returns total padded segment count.
+template <typename Emit>
+int64_t band_walk(int64_t nnz, int64_t n_rows_pad, int64_t n_cols_pad,
+                  const int64_t* dst, const int64_t* src,
+                  int32_t window, int32_t window_src, int32_t chunk,
+                  int32_t seg_per_mid, Emit emit) {
+  std::vector<int64_t> order;   // band-local edge order (src-sorted)
+  std::vector<int64_t> starts;  // per-seg start (band-local position)
+  std::vector<int64_t> bases;   // per-seg src base
+  int64_t total_pad_segs = 0;
+  int64_t i = 0;
+  while (i < nnz) {
+    int64_t bd = std::min((dst[i] >> 3) << 3, n_rows_pad - window);
+    const int64_t* jp = std::lower_bound(dst + i, dst + nnz, bd + window);
+    const int64_t j = jp - dst;
+    order.resize(j - i);
+    for (int64_t k = 0; k < j - i; ++k) order[k] = i + k;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return src[a] < src[b]; });
+    starts.clear();
+    bases.clear();
+    int64_t k = 0;
+    const int64_t n = j - i;
+    while (k < n) {
+      int64_t bs = std::min((src[order[k]] >> 3) << 3,
+                            n_cols_pad - window_src);
+      // first band-local position whose src >= bs + window_src
+      int64_t lo = k, hi = n;
+      while (lo < hi) {
+        int64_t m = (lo + hi) / 2;
+        if (src[order[m]] < bs + window_src) lo = m + 1; else hi = m;
+      }
+      starts.push_back(k);
+      bases.push_back(bs);
+      k = std::min(lo, k + chunk);
+    }
+    total_pad_segs +=
+        ceil_div(static_cast<int64_t>(starts.size()), seg_per_mid) *
+        seg_per_mid;
+    emit(i, j, bd, order, starts, bases, total_pad_segs);
+    i = j;
+  }
+  return total_pad_segs;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: total per-band-padded segment count (before the caller's global
+// mids_per_step padding). Edges must be (dst, src)-lexsorted.
+int64_t ppnp_band_count(int64_t nnz, int64_t n_rows_pad, int64_t n_cols_pad,
+                        const int64_t* dst, const int64_t* src,
+                        int32_t window, int32_t window_src, int32_t chunk,
+                        int32_t seg_per_mid) {
+  return band_walk(nnz, n_rows_pad, n_cols_pad, dst, src, window, window_src,
+                   chunk, seg_per_mid,
+                   [](int64_t, int64_t, int64_t, const std::vector<int64_t>&,
+                      const std::vector<int64_t>&, const std::vector<int64_t>&,
+                      int64_t) {});
+}
+
+// Pass 2: fill caller-allocated, pre-zeroed outputs (sized by pass 1 plus
+// the caller's global padding):
+//   seg_bs[n_seg_pad]          per-seg src base (band padding segs stay 0)
+//   mid_bd[n_mid_pad]          per-mid dst base (global padding mids stay 0)
+//   flat_src/flat_dst[n_seg_pad*chunk], flat_w[...]  slot arrays,
+//     flat index = seg*chunk + rank (caller reshapes/transposes).
+// Returns the number of real (band-padded) segments, == pass-1 count.
+int64_t ppnp_band_fill(int64_t nnz, int64_t n_rows_pad, int64_t n_cols_pad,
+                       const int64_t* dst, const int64_t* src, const float* w,
+                       int32_t window, int32_t window_src, int32_t chunk,
+                       int32_t seg_per_mid,
+                       int32_t* seg_bs, int32_t* mid_bd,
+                       int32_t* flat_src, int32_t* flat_dst, float* flat_w) {
+  return band_walk(
+      nnz, n_rows_pad, n_cols_pad, dst, src, window, window_src, chunk,
+      seg_per_mid,
+      [&](int64_t i, int64_t j, int64_t bd, const std::vector<int64_t>& order,
+          const std::vector<int64_t>& starts, const std::vector<int64_t>& bases,
+          int64_t seg_end_pad) {
+        const int64_t n_segs = static_cast<int64_t>(starts.size());
+        const int64_t band_pad_segs =
+            ceil_div(n_segs, static_cast<int64_t>(seg_per_mid)) * seg_per_mid;
+        const int64_t seg0 = seg_end_pad - band_pad_segs;
+        for (int64_t s = 0; s < n_segs; ++s)
+          seg_bs[seg0 + s] = static_cast<int32_t>(bases[s]);
+        for (int64_t m = seg0 / seg_per_mid; m < seg_end_pad / seg_per_mid;
+             ++m)
+          mid_bd[m] = static_cast<int32_t>(bd);
+        int64_t segk = 0;
+        for (int64_t p = 0; p < j - i; ++p) {
+          while (segk + 1 < n_segs && starts[segk + 1] <= p) ++segk;
+          const int64_t e = order[p];
+          const int64_t slot = (seg0 + segk) * chunk + (p - starts[segk]);
+          flat_src[slot] = static_cast<int32_t>(src[e] - bases[segk]);
+          flat_dst[slot] = static_cast<int32_t>(dst[e] - bd);
+          flat_w[slot] = w[e];
+        }
+      });
+}
+
+}  // extern "C"
+
+// CSR-direct banded packer: canonical CSR (sorted indices, no dups) IS
+// (dst, src)-lexsorted, so the Python wrapper can skip the COO expansion,
+// int64 casts, and lexsort entirely when packing without a permutation.
+// Band walk over indptr; per band, edges sort stable by int32 src.
+// Output contract identical to ppnp_band_fill.
+
+namespace {
+
+template <typename Emit>
+int64_t band_walk_csr(int64_t n_rows, int64_t n_rows_pad, int64_t n_cols_pad,
+                      const int64_t* indptr, const int32_t* indices,
+                      int32_t window, int32_t window_src, int32_t chunk,
+                      int32_t seg_per_mid, Emit emit) {
+  const int64_t nnz = indptr[n_rows];
+  std::vector<int64_t> order;   // global edge ids, band-local src order
+  std::vector<int64_t> starts;  // per-seg start (band-local position)
+  std::vector<int64_t> bases;   // per-seg src base
+  int64_t total_pad_segs = 0;
+  int64_t i = 0, r = 0;
+  while (i < nnz) {
+    while (indptr[r + 1] <= i) ++r;  // row of edge i (skip empty rows)
+    const int64_t bd = std::min((r >> 3) << 3, n_rows_pad - window);
+    const int64_t row_end = std::min(bd + window, n_rows);
+    const int64_t j = indptr[row_end];
+    order.resize(j - i);
+    for (int64_t k = 0; k < j - i; ++k) order[k] = i + k;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return indices[a] < indices[b];
+    });
+    starts.clear();
+    bases.clear();
+    const int64_t n = j - i;
+    int64_t k = 0;
+    while (k < n) {
+      const int64_t bs = std::min(
+          (static_cast<int64_t>(indices[order[k]]) >> 3) << 3,
+          n_cols_pad - window_src);
+      int64_t lo = k, hi = n;
+      while (lo < hi) {
+        int64_t m = (lo + hi) / 2;
+        if (indices[order[m]] < bs + window_src) lo = m + 1; else hi = m;
+      }
+      starts.push_back(k);
+      bases.push_back(bs);
+      k = std::min(lo, k + chunk);
+    }
+    total_pad_segs +=
+        ceil_div(static_cast<int64_t>(starts.size()), seg_per_mid) *
+        seg_per_mid;
+    emit(i, j, bd, row_end, order, starts, bases, total_pad_segs);
+    i = j;
+  }
+  return total_pad_segs;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t ppnp_band_count_csr(int64_t n_rows, int64_t n_rows_pad,
+                            int64_t n_cols_pad,
+                            const int64_t* indptr, const int32_t* indices,
+                            int32_t window, int32_t window_src, int32_t chunk,
+                            int32_t seg_per_mid) {
+  return band_walk_csr(
+      n_rows, n_rows_pad, n_cols_pad, indptr, indices, window, window_src,
+      chunk, seg_per_mid,
+      [](int64_t, int64_t, int64_t, int64_t, const std::vector<int64_t>&,
+         const std::vector<int64_t>&, const std::vector<int64_t>&,
+         int64_t) {});
+}
+
+int64_t ppnp_band_fill_csr(int64_t n_rows, int64_t n_rows_pad,
+                           int64_t n_cols_pad,
+                           const int64_t* indptr, const int32_t* indices,
+                           const float* data,
+                           int32_t window, int32_t window_src, int32_t chunk,
+                           int32_t seg_per_mid,
+                           int32_t* seg_bs, int32_t* mid_bd,
+                           int32_t* flat_src, int32_t* flat_dst,
+                           float* flat_w) {
+  std::vector<int32_t> edge_dst;  // per-band scratch: dst row per edge
+  return band_walk_csr(
+      n_rows, n_rows_pad, n_cols_pad, indptr, indices, window, window_src,
+      chunk, seg_per_mid,
+      [&](int64_t i, int64_t j, int64_t bd, int64_t row_end,
+          const std::vector<int64_t>& order, const std::vector<int64_t>& starts,
+          const std::vector<int64_t>& bases, int64_t seg_end_pad) {
+        const int64_t n_segs = static_cast<int64_t>(starts.size());
+        const int64_t band_pad_segs =
+            ceil_div(n_segs, static_cast<int64_t>(seg_per_mid)) * seg_per_mid;
+        const int64_t seg0 = seg_end_pad - band_pad_segs;
+        for (int64_t s = 0; s < n_segs; ++s)
+          seg_bs[seg0 + s] = static_cast<int32_t>(bases[s]);
+        for (int64_t m = seg0 / seg_per_mid; m < seg_end_pad / seg_per_mid;
+             ++m)
+          mid_bd[m] = static_cast<int32_t>(bd);
+        edge_dst.resize(j - i);
+        for (int64_t r = bd; r < row_end; ++r) {
+          const int64_t e0 = std::max(indptr[r], i);
+          for (int64_t e = e0; e < indptr[r + 1]; ++e)
+            edge_dst[e - i] = static_cast<int32_t>(r - bd);
+        }
+        int64_t segk = 0;
+        for (int64_t p = 0; p < j - i; ++p) {
+          while (segk + 1 < n_segs && starts[segk + 1] <= p) ++segk;
+          const int64_t e = order[p];
+          const int64_t slot = (seg0 + segk) * chunk + (p - starts[segk]);
+          flat_src[slot] = static_cast<int32_t>(indices[e] - bases[segk]);
+          flat_dst[slot] = edge_dst[e - i];
+          flat_w[slot] = data[e];
+        }
+      });
+}
+
+}  // extern "C"

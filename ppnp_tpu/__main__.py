@@ -121,6 +121,9 @@ def cmd_bench(args) -> int:
     elif args.retrieval:
         from ppnp_tpu.benchmarks import bench_retrieval
         res = bench_retrieval(dataset=args.dataset)
+    elif args.ingest:
+        from ppnp_tpu.benchmarks import bench_ingest
+        res = bench_ingest()
     elif args.scaling:
         res = bench_scaling(dataset=args.dataset, c=args.c,
                             niter=args.niter, iters=args.iters,
@@ -214,6 +217,8 @@ def main(argv=None) -> int:
                    help="steady-state training epochs/s")
     p.add_argument("--retrieval", action="store_true",
                    help="top-k retrieval queries/s")
+    p.add_argument("--ingest", action="store_true",
+                   help="host-side packing edges/s (numpy vs C++)")
     p.add_argument("--epochs", type=int, default=50)
     p.set_defaults(fn=cmd_bench)
 

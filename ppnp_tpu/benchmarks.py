@@ -248,6 +248,51 @@ def bench_training(
     }
 
 
+def bench_ingest(
+    n_nodes: int = 500_000,
+    n_edges: int = 5_000_000,
+    bandwidth: int = 2_000,
+    seed: int = 0,
+) -> Dict:
+    """Host-side packing throughput: numpy vs the C++ native tier.
+
+    Packs a synthetic banded graph (what citation graphs look like after
+    RCM) with ``pair_chunks_banded`` in both modes and reports edges/s.
+    Runs entirely on the host — no devices touched (``device=False``).
+    """
+    import scipy.sparse as sp
+
+    from ppnp_tpu import native
+
+    rng = np.random.default_rng(seed)
+    dst = rng.integers(0, n_nodes, n_edges)
+    off = (rng.standard_normal(n_edges) * bandwidth).astype(np.int64)
+    src = np.clip(dst + off, 0, n_nodes - 1)
+    mat = sp.coo_matrix((np.ones(n_edges, np.float32), (dst, src)),
+                        shape=(n_nodes, n_nodes)).tocsr()
+    del dst, src, off
+
+    result: Dict = {"n_nodes": n_nodes, "n_edges": int(mat.nnz),
+                    "bandwidth": bandwidth,
+                    "native_available": native.native_available(),
+                    "paths": {}}
+    modes = ["never"] + (["require"] if native.native_available() else [])
+    for mode in modes:
+        t0 = time.perf_counter()
+        pc = pair_chunks_banded(mat, use_native=mode, device=False,
+                                edge_ids=None)
+        t = time.perf_counter() - t0
+        name = "numpy" if mode == "never" else "native"
+        result["paths"][name] = {"seconds": t,
+                                 "edges_per_s": mat.nnz / t,
+                                 "n_seg": pc.n_seg}
+        del pc
+    if len(result["paths"]) == 2:
+        result["native_speedup"] = (result["paths"]["numpy"]["seconds"]
+                                    / result["paths"]["native"]["seconds"])
+    return result
+
+
 def bench_retrieval(
     dataset: str = "ms_academic",
     d: int = 64,

@@ -19,7 +19,8 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["get_lib", "pack_pair_chunks_native", "native_available"]
+__all__ = ["get_lib", "pack_pair_chunks_native", "pack_banded_native",
+           "pack_banded_native_csr", "native_available"]
 
 _CSRC = Path(__file__).resolve().parents[2] / "csrc"
 _LIB: Optional[ctypes.CDLL] = None
@@ -48,6 +49,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if so is None:
         return None
     lib = ctypes.CDLL(str(so))
+    if not hasattr(lib, "ppnp_band_count"):
+        # Stale .so predating the banded packer (mtime tie): force rebuild.
+        try:
+            subprocess.run(["make", "-C", str(_CSRC), "clean", "all"],
+                           check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(str(so))
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            return None
     i64, i32, f32 = (np.ctypeslib.ndpointer(dtype=d, flags="C_CONTIGUOUS")
                      for d in (np.int64, np.int32, np.float32))
     lib.ppnp_pack_count.restype = ctypes.c_int64
@@ -59,12 +68,110 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, i64, i32, f32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         i32, i32, i32, i32, f32]
+    lib.ppnp_band_count.restype = ctypes.c_int64
+    lib.ppnp_band_count.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64, i64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    lib.ppnp_band_fill.restype = ctypes.c_int64
+    lib.ppnp_band_fill.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64, i64, f32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32, i32, i32, i32, f32]
+    lib.ppnp_band_count_csr.restype = ctypes.c_int64
+    lib.ppnp_band_count_csr.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64, i32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    lib.ppnp_band_fill_csr.restype = ctypes.c_int64
+    lib.ppnp_band_fill_csr.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64, i32, f32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32, i32, i32, i32, f32]
     _LIB = lib
     return _LIB
 
 
 def native_available() -> bool:
     return get_lib() is not None
+
+
+def pack_banded_native(
+    dst: np.ndarray, src: np.ndarray, w: np.ndarray,
+    n_rows_pad: int, n_cols_pad: int,
+    window: int, window_src: int, chunk: int, seg_per_mid: int,
+    mids_per_step: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                    np.ndarray, int, int]]:
+    """C++ banded packing of (dst, src)-lexsorted dedup'd COO edges.
+
+    Returns (seg_bs, mid_bd, flat_src, flat_dst, flat_w, n_seg_pad,
+    n_mid_pad) with flat arrays in seg*chunk+rank slot order (the caller
+    reshapes), bit-identical to pair_chunks_banded's numpy fill, or None
+    when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    nnz = len(dst)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    w = np.ascontiguousarray(w, dtype=np.float32)
+    n_seg = int(lib.ppnp_band_count(
+        nnz, n_rows_pad, n_cols_pad, dst, src,
+        window, window_src, chunk, seg_per_mid))
+    n_mid = n_seg // seg_per_mid  # count is already a seg_per_mid multiple
+    n_mid_pad = -(-max(n_mid, 1) // mids_per_step) * mids_per_step
+    n_seg_pad = n_mid_pad * seg_per_mid
+
+    seg_bs = np.zeros(n_seg_pad, np.int32)
+    mid_bd = np.zeros(n_mid_pad, np.int32)
+    flat_src = np.zeros(n_seg_pad * chunk, np.int32)
+    flat_dst = np.zeros(n_seg_pad * chunk, np.int32)
+    flat_w = np.zeros(n_seg_pad * chunk, np.float32)
+    written = int(lib.ppnp_band_fill(
+        nnz, n_rows_pad, n_cols_pad, dst, src, w,
+        window, window_src, chunk, seg_per_mid,
+        seg_bs, mid_bd, flat_src, flat_dst, flat_w))
+    assert written == n_seg, (written, n_seg)
+    return seg_bs, mid_bd, flat_src, flat_dst, flat_w, n_seg_pad, n_mid_pad
+
+
+def pack_banded_native_csr(
+    csr, n_rows_pad: int, n_cols_pad: int,
+    window: int, window_src: int, chunk: int, seg_per_mid: int,
+    mids_per_step: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                    np.ndarray, int, int]]:
+    """C++ banded packing straight from canonical CSR (no permutation).
+
+    Canonical CSR is already (dst, src)-lexsorted, so this skips the COO
+    expansion, int64 casts, and lexsort that ``pack_banded_native``'s
+    callers pay. Same return contract as ``pack_banded_native``.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rows = csr.shape[0]
+    indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(csr.indices, dtype=np.int32)
+    data = np.ascontiguousarray(csr.data, dtype=np.float32)
+    n_seg = int(lib.ppnp_band_count_csr(
+        n_rows, n_rows_pad, n_cols_pad, indptr, indices,
+        window, window_src, chunk, seg_per_mid))
+    n_mid = n_seg // seg_per_mid  # count is already a seg_per_mid multiple
+    n_mid_pad = -(-max(n_mid, 1) // mids_per_step) * mids_per_step
+    n_seg_pad = n_mid_pad * seg_per_mid
+
+    seg_bs = np.zeros(n_seg_pad, np.int32)
+    mid_bd = np.zeros(n_mid_pad, np.int32)
+    flat_src = np.zeros(n_seg_pad * chunk, np.int32)
+    flat_dst = np.zeros(n_seg_pad * chunk, np.int32)
+    flat_w = np.zeros(n_seg_pad * chunk, np.float32)
+    written = int(lib.ppnp_band_fill_csr(
+        n_rows, n_rows_pad, n_cols_pad, indptr, indices, data,
+        window, window_src, chunk, seg_per_mid,
+        seg_bs, mid_bd, flat_src, flat_dst, flat_w))
+    assert written == n_seg, (written, n_seg)
+    return seg_bs, mid_bd, flat_src, flat_dst, flat_w, n_seg_pad, n_mid_pad
 
 
 def pack_pair_chunks_native(

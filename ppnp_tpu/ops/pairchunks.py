@@ -345,9 +345,7 @@ def pair_chunks_banded(
     perm: Optional[np.ndarray] = None,
     edge_ids: Optional[str] = "direct",
     device: bool = True,
-    use_native: str = "never",  # signature-compatible with the aligned
-    # packer; banded packing is pure numpy (no native path needed — the
-    # vectorized fill runs in <1s on the reference-scale graphs)
+    use_native: str = "auto",
 ) -> PairChunks:
     """Banded (sliding-window) packing: denser than the aligned grid.
 
@@ -377,28 +375,21 @@ def pair_chunks_banded(
     (slot coords = base + local offset), so ``slot_permutation``,
     edge-id dropout and the shard stacker work unchanged; ``align=8``
     tells the kernel the bases are only 8-aligned (f32 sublane).
+
+    ``use_native``: "auto" runs the band walk/fill in C++
+    (ppnp_tpu.native, bit-identical output — the per-segment Python
+    loop is the ingest bottleneck at >10M edges), "never" forces the
+    numpy path, "require" errors if the native library is unavailable.
     """
     if window_src is None:
         window_src = window
     if window % 8 or window_src % 8:
         raise ValueError("windows must be sublane (8) aligned")
-    mat = mat.tocoo()
-    mat.sum_duplicates()  # one slot per coordinate (edge-id contract)
-    dst = mat.row.astype(np.int64)
-    src = mat.col.astype(np.int64)
-    w = mat.data.astype(np.float32)
-    n_rows, n_cols = mat.shape
     perm = _resolve_perm(mat, reorder, perm)
-    perm_arrays = {}
-    if perm is not None:
-        iperm = np.empty_like(perm)
-        iperm[perm] = np.arange(len(perm))
-        dst, src = iperm[dst], iperm[src]
-        perm_arrays = {"perm": perm.astype(np.int32),
-                       "iperm": iperm.astype(np.int32)}
-    order = np.lexsort((src, dst))
-    dst, src, w = dst[order], src[order], w[order]
-    nnz = len(dst)
+    csr = mat.tocsr()
+    csr.sum_duplicates()  # one slot per coordinate (edge-id contract)
+    n_rows, n_cols = csr.shape
+    nnz = int(csr.nnz)
     n_rows_pad = max(round_up_to_multiple(n_rows, 128), window)
     n_cols_pad = max(round_up_to_multiple(n_cols, 128), window_src)
     if n_rows == n_cols:
@@ -406,6 +397,68 @@ def pair_chunks_banded(
         # fused kernel) can ping-pong one buffer shape
         n_rows_pad = n_cols_pad = max(n_rows_pad, n_cols_pad)
     mid = chunk * seg_per_mid
+    perm_arrays = {}
+    if perm is not None:
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(len(perm))
+        perm_arrays = {"perm": perm.astype(np.int32),
+                       "iperm": iperm.astype(np.int32)}
+
+    def _assemble(packed) -> PairChunks:
+        (seg_bs, mid_bd, flat_src, flat_dst, flat_w,
+         n_seg_pad, n_mid_pad) = packed
+        pc = PairChunks(
+            seg_bs=seg_bs,
+            mid_bd=mid_bd,
+            e_src=flat_src.reshape(n_seg_pad, chunk).T.copy(),
+            e_w=flat_w.reshape(n_seg_pad, chunk).T.copy(),
+            e_dst=flat_dst.reshape(n_mid_pad, mid),
+            n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
+            window=window, window_src=window_src, chunk=chunk,
+            seg_per_mid=seg_per_mid, nnz=nnz,
+            mids_per_step=mids_per_step,
+            n_cols=n_cols, align=8, **perm_arrays)
+        pc = _attach_edge_ids(pc, edge_ids)
+        return to_device(pc) if device else pc
+
+    want_native = use_native in ("auto", "require") and nnz > 0
+    if want_native and perm is None:
+        # Fastest path: canonical CSR is already (dst, src)-lexsorted, so
+        # the C++ packer walks indptr directly — no COO expansion, int64
+        # casts, or lexsort (the ingest bottleneck at 20M+ edges).
+        from ppnp_tpu import native
+        packed = native.pack_banded_native_csr(
+            csr, n_rows_pad, n_cols_pad,
+            window, window_src, chunk, seg_per_mid, mids_per_step)
+        if packed is not None:
+            return _assemble(packed)
+        if use_native == "require":
+            raise RuntimeError("native packer unavailable "
+                               "(csrc build failed and use_native='require')")
+
+    if perm is None:
+        dst = np.repeat(np.arange(n_rows, dtype=np.int64),
+                        np.diff(csr.indptr))
+        src = csr.indices.astype(np.int64)
+        w = csr.data.astype(np.float32)
+    else:
+        coo = csr.tocoo()
+        dst = iperm[coo.row.astype(np.int64)]
+        src = iperm[coo.col.astype(np.int64)]
+        w = coo.data.astype(np.float32)
+        order = np.lexsort((src, dst))
+        dst, src, w = dst[order], src[order], w[order]
+
+    if want_native and perm is not None:
+        from ppnp_tpu import native
+        packed = native.pack_banded_native(
+            dst, src, w, n_rows_pad, n_cols_pad,
+            window, window_src, chunk, seg_per_mid, mids_per_step)
+        if packed is not None:
+            return _assemble(packed)
+        if use_native == "require":
+            raise RuntimeError("native packer unavailable "
+                               "(csrc build failed and use_native='require')")
 
     # Per band: local sorted-by-src edge order, segment cut points and
     # bases. Slot filling is deferred and done in one vectorized pass.

@@ -212,3 +212,89 @@ def test_banded_fused_matches_per_step():
                    keep_padded=True)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(h),
                                rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Native (C++) banded packer: ppnp_tpu.native.pack_banded_native[_csr]
+# must be BIT-IDENTICAL to the numpy fill (stable per-band src sort), so
+# every array leaf is compared exactly, not just the SpMM result.
+# --------------------------------------------------------------------------
+
+_PC_ARRAY_FIELDS = ("seg_bs", "mid_bd", "e_src", "e_w", "e_dst",
+                    "eid_hi", "eid_lo", "perm", "iperm")
+_PC_STATIC_FIELDS = ("n_rows", "n_rows_pad", "n_cols_pad", "nnz", "n_cols",
+                     "align", "window", "window_src", "chunk", "seg_per_mid",
+                     "mids_per_step")
+
+
+def _assert_packings_identical(a, b):
+    for f in _PC_ARRAY_FIELDS:
+        x, y = getattr(a, f), getattr(b, f)
+        if x is None:
+            assert y is None, f
+        else:
+            assert np.array_equal(np.asarray(x), np.asarray(y)), f
+    for f in _PC_STATIC_FIELDS:
+        assert getattr(a, f) == getattr(b, f), f
+
+
+def _native_or_skip():
+    from ppnp_tpu import native
+    if not native.native_available():
+        pytest.skip("native library unavailable (no compiler)")
+
+
+@pytest.mark.parametrize("shape,density,kwargs", [
+    ((500, 500), 0.01, {}),                    # CSR fast path (no perm)
+    ((1000, 700), 0.004, {}),                  # rectangular
+    ((40, 40), 0.3, {}),                       # dense, single band
+    ((600, 600), 0.01, {"reorder": "rcm"}),    # COO path (perm relabel)
+    ((300, 300), 0.02, {"window": 128, "window_src": 256, "chunk": 16}),
+])
+def test_banded_native_bit_identical(shape, density, kwargs):
+    _native_or_skip()
+    rng = np.random.RandomState(shape[0])
+    a = sp.random(*shape, density=density, random_state=rng, format="csr",
+                  dtype=np.float32)
+    if "reorder" in kwargs:  # rcm needs a symmetric pattern
+        a = ((a + a.T) > 0).astype(np.float32).tocsr()
+    numpy_pc = pair_chunks_banded(a, use_native="never", device=False,
+                                  **kwargs)
+    native_pc = pair_chunks_banded(a, use_native="require", device=False,
+                                   **kwargs)
+    _assert_packings_identical(numpy_pc, native_pc)
+
+
+def test_banded_native_duplicates_and_empty_rows():
+    _native_or_skip()
+    r = np.array([5, 5, 900, 2, 2])
+    c = np.array([7, 7, 10, 600, 600])
+    a = sp.coo_matrix((np.ones(5, np.float32), (r, c)), shape=(1000, 1000))
+    _assert_packings_identical(
+        pair_chunks_banded(a, use_native="never", device=False),
+        pair_chunks_banded(a, use_native="require", device=False))
+
+
+def test_banded_native_spmm_correct():
+    """Native packing through the actual kernel against the scipy oracle."""
+    _native_or_skip()
+    rng = np.random.RandomState(11)
+    a = sp.random(700, 700, density=0.008, random_state=rng, format="csr",
+                  dtype=np.float32)
+    h = rng.randn(700, 64).astype(np.float32)
+    pc = pair_chunks_banded(a, use_native="require")
+    out = interp(pc, jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(out), a @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_banded_native_require_raises_when_unavailable():
+    from ppnp_tpu import native
+    a = sp.random(100, 100, density=0.05, random_state=np.random.RandomState(0),
+                  format="csr", dtype=np.float32)
+    with mock.patch.object(native, "get_lib", return_value=None):
+        with pytest.raises(RuntimeError, match="native packer unavailable"):
+            pair_chunks_banded(a, use_native="require", device=False)
+        # "auto" must fall back silently to the numpy path
+        pc = pair_chunks_banded(a, use_native="auto", device=False)
+    _assert_packings_identical(
+        pc, pair_chunks_banded(a, use_native="never", device=False))
