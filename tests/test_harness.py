@@ -173,3 +173,34 @@ def test_compilation_cache_config(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == str(target2)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_checkpoint_sharded_table_roundtrip(tmp_path):
+    """A mesh-sharded embedding table survives save/restore (SURVEY.md §5:
+    sharded checkpoints for the multi-host table, tensorstore backend).
+
+    Orbax writes one file set per shard; restore returns the values,
+    which re-place onto the mesh with the original NamedSharding.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ppnp_tpu.checkpoint import restore_checkpoint, save_checkpoint
+    from ppnp_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    spec = NamedSharding(mesh, P("data", None))
+    table = jax.device_put(
+        jnp.arange(64 * 16, dtype=jnp.float32).reshape(64, 16), spec)
+    assert len(table.sharding.device_set) == mesh.size
+
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 3, {"table": table, "epoch": 3})
+    state = restore_checkpoint(d)
+    assert state["epoch"] == 3
+    np.testing.assert_array_equal(np.asarray(state["table"]),
+                                  np.asarray(table))
+    replaced = jax.device_put(jnp.asarray(np.asarray(state["table"])), spec)
+    assert replaced.sharding == spec
+    np.testing.assert_array_equal(np.asarray(replaced), np.asarray(table))
