@@ -113,142 +113,120 @@ int64_t ppnp_pack_fill(int64_t n_rows, int64_t n_cols,
 
 }  // extern "C"
 
+
 // ---------------------------------------------------------------------------
 // Banded (sliding-window) packer — native twin of
-// ppnp_tpu/ops/pairchunks.py::pair_chunks_banded. Inputs are the
-// deduplicated COO edges ALREADY lexsorted by (dst, src) (the Python
-// wrapper sorts; numpy's lexsort is fast). The band walk, per-band stable
-// src sort, and greedy segment cut replicate the numpy code exactly
-// (stable sort ⇒ bit-identical slot layout), so the two paths are tested
-// for array equality, not just math equivalence.
+// ppnp_tpu/ops/pairchunks.py::pair_chunks_banded. Single-pass: the band
+// walk (per-band stable src sort + greedy segment cut) runs ONCE,
+// appending into growable buffers behind an opaque handle; the Python
+// wrapper then reads the segment count, allocates the globally padded
+// numpy arrays, and copies out. Two entry points share the walk: COO
+// (edges already (dst, src)-lexsorted — the permuted path) and
+// CSR-direct (canonical CSR is already in that order, so indptr/indices
+// are consumed with no lexsort or int64 expansion). The stable sort
+// replicates numpy's argsort(kind="stable") ⇒ bit-identical slot layout,
+// tested by exact array equality in tests/test_banded.py.
 // ---------------------------------------------------------------------------
 
 namespace {
 
-// Shared band walk: calls per-band `emit(i, j, bd, order)` where
-// [i, j) is the band's edge range, bd its dst base, and `order` the
-// band-local stable src order. Returns total padded segment count.
-template <typename Emit>
-int64_t band_walk(int64_t nnz, int64_t n_rows_pad, int64_t n_cols_pad,
-                  const int64_t* dst, const int64_t* src,
-                  int32_t window, int32_t window_src, int32_t chunk,
-                  int32_t seg_per_mid, Emit emit) {
-  std::vector<int64_t> order;   // band-local edge order (src-sorted)
-  std::vector<int64_t> starts;  // per-seg start (band-local position)
-  std::vector<int64_t> bases;   // per-seg src base
-  int64_t total_pad_segs = 0;
-  int64_t i = 0;
-  while (i < nnz) {
-    int64_t bd = std::min((dst[i] >> 3) << 3, n_rows_pad - window);
-    const int64_t* jp = std::lower_bound(dst + i, dst + nnz, bd + window);
-    const int64_t j = jp - dst;
-    order.resize(j - i);
-    for (int64_t k = 0; k < j - i; ++k) order[k] = i + k;
-    std::stable_sort(order.begin(), order.end(),
-                     [&](int64_t a, int64_t b) { return src[a] < src[b]; });
-    starts.clear();
-    bases.clear();
-    int64_t k = 0;
-    const int64_t n = j - i;
-    while (k < n) {
-      int64_t bs = std::min((src[order[k]] >> 3) << 3,
-                            n_cols_pad - window_src);
-      // first band-local position whose src >= bs + window_src
-      int64_t lo = k, hi = n;
-      while (lo < hi) {
-        int64_t m = (lo + hi) / 2;
-        if (src[order[m]] < bs + window_src) lo = m + 1; else hi = m;
-      }
-      starts.push_back(k);
-      bases.push_back(bs);
-      k = std::min(lo, k + chunk);
+struct BandPack {
+  std::vector<int32_t> seg_bs;    // [n_seg] src base per segment
+  std::vector<int32_t> mid_bd;    // [n_seg/seg_per_mid] dst base per mid
+  std::vector<int32_t> flat_src;  // [n_seg*chunk] slot = seg*chunk + rank
+  std::vector<int32_t> flat_dst;
+  std::vector<float> flat_w;
+  int32_t chunk = 0, seg_per_mid = 0;
+
+  int64_t n_seg() const { return static_cast<int64_t>(seg_bs.size()); }
+};
+
+// One band: `n` edges, band-local src accessor `bsrc(p)` over the stable
+// src-sorted order, dst/weight accessors by the same p. Cuts segments,
+// pads to a seg_per_mid multiple, appends slots.
+template <typename SrcAt, typename DstAt, typename WAt>
+void append_band(BandPack& out, int64_t bd, int64_t n, int64_t n_cols_pad,
+                 int32_t window_src, int32_t chunk, int32_t seg_per_mid,
+                 SrcAt bsrc, DstAt bdst, WAt bw) {
+  const int64_t seg0 = out.n_seg();
+  std::vector<int64_t> starts;  // band-local start position per segment
+  int64_t k = 0;
+  while (k < n) {
+    const int64_t bs = std::min((bsrc(k) >> 3) << 3,
+                                n_cols_pad - window_src);
+    int64_t lo = k, hi = n;  // first position with src >= bs + window_src
+    while (lo < hi) {
+      int64_t m = (lo + hi) / 2;
+      if (bsrc(m) < bs + window_src) lo = m + 1; else hi = m;
     }
-    total_pad_segs +=
-        ceil_div(static_cast<int64_t>(starts.size()), seg_per_mid) *
-        seg_per_mid;
-    emit(i, j, bd, order, starts, bases, total_pad_segs);
-    i = j;
+    out.seg_bs.push_back(static_cast<int32_t>(bs));
+    starts.push_back(k);
+    k = std::min(lo, k + chunk);
   }
-  return total_pad_segs;
+  const int64_t n_segs = out.n_seg() - seg0;
+  const int64_t pad_segs =
+      ceil_div(n_segs, static_cast<int64_t>(seg_per_mid)) * seg_per_mid;
+  out.seg_bs.resize(seg0 + pad_segs, 0);  // band padding segs keep base 0
+  out.mid_bd.resize((seg0 + pad_segs) / seg_per_mid,
+                    static_cast<int32_t>(bd));
+  out.flat_src.resize((seg0 + pad_segs) * chunk, 0);
+  out.flat_dst.resize((seg0 + pad_segs) * chunk, 0);
+  out.flat_w.resize((seg0 + pad_segs) * chunk, 0.0f);
+  int64_t segk = 0;
+  for (int64_t p = 0; p < n; ++p) {
+    while (segk + 1 < n_segs && starts[segk + 1] <= p) ++segk;
+    const int64_t slot = (seg0 + segk) * chunk + (p - starts[segk]);
+    out.flat_src[slot] =
+        static_cast<int32_t>(bsrc(p) - out.seg_bs[seg0 + segk]);
+    out.flat_dst[slot] = static_cast<int32_t>(bdst(p) - bd);
+    out.flat_w[slot] = bw(p);
+  }
 }
 
 }  // namespace
 
 extern "C" {
 
-// Pass 1: total per-band-padded segment count (before the caller's global
-// mids_per_step padding). Edges must be (dst, src)-lexsorted.
-int64_t ppnp_band_count(int64_t nnz, int64_t n_rows_pad, int64_t n_cols_pad,
-                        const int64_t* dst, const int64_t* src,
-                        int32_t window, int32_t window_src, int32_t chunk,
-                        int32_t seg_per_mid) {
-  return band_walk(nnz, n_rows_pad, n_cols_pad, dst, src, window, window_src,
-                   chunk, seg_per_mid,
-                   [](int64_t, int64_t, int64_t, const std::vector<int64_t>&,
-                      const std::vector<int64_t>&, const std::vector<int64_t>&,
-                      int64_t) {});
+// COO entry: edges (dst, src)-lexsorted, deduplicated.
+void* ppnp_band_pack(int64_t nnz, int64_t n_rows_pad, int64_t n_cols_pad,
+                     const int64_t* dst, const int64_t* src, const float* w,
+                     int32_t window, int32_t window_src, int32_t chunk,
+                     int32_t seg_per_mid) {
+  auto* out = new BandPack;
+  out->chunk = chunk;
+  out->seg_per_mid = seg_per_mid;
+  std::vector<int64_t> order;
+  int64_t i = 0;
+  while (i < nnz) {
+    const int64_t bd = std::min((dst[i] >> 3) << 3, n_rows_pad - window);
+    const int64_t j =
+        std::lower_bound(dst + i, dst + nnz, bd + window) - dst;
+    order.resize(j - i);
+    for (int64_t k = 0; k < j - i; ++k) order[k] = i + k;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return src[a] < src[b]; });
+    append_band(*out, bd, j - i, n_cols_pad, window_src, chunk, seg_per_mid,
+                [&](int64_t p) { return src[order[p]]; },
+                [&](int64_t p) { return dst[order[p]]; },
+                [&](int64_t p) { return w[order[p]]; });
+    i = j;
+  }
+  return out;
 }
 
-// Pass 2: fill caller-allocated, pre-zeroed outputs (sized by pass 1 plus
-// the caller's global padding):
-//   seg_bs[n_seg_pad]          per-seg src base (band padding segs stay 0)
-//   mid_bd[n_mid_pad]          per-mid dst base (global padding mids stay 0)
-//   flat_src/flat_dst[n_seg_pad*chunk], flat_w[...]  slot arrays,
-//     flat index = seg*chunk + rank (caller reshapes/transposes).
-// Returns the number of real (band-padded) segments, == pass-1 count.
-int64_t ppnp_band_fill(int64_t nnz, int64_t n_rows_pad, int64_t n_cols_pad,
-                       const int64_t* dst, const int64_t* src, const float* w,
-                       int32_t window, int32_t window_src, int32_t chunk,
-                       int32_t seg_per_mid,
-                       int32_t* seg_bs, int32_t* mid_bd,
-                       int32_t* flat_src, int32_t* flat_dst, float* flat_w) {
-  return band_walk(
-      nnz, n_rows_pad, n_cols_pad, dst, src, window, window_src, chunk,
-      seg_per_mid,
-      [&](int64_t i, int64_t j, int64_t bd, const std::vector<int64_t>& order,
-          const std::vector<int64_t>& starts, const std::vector<int64_t>& bases,
-          int64_t seg_end_pad) {
-        const int64_t n_segs = static_cast<int64_t>(starts.size());
-        const int64_t band_pad_segs =
-            ceil_div(n_segs, static_cast<int64_t>(seg_per_mid)) * seg_per_mid;
-        const int64_t seg0 = seg_end_pad - band_pad_segs;
-        for (int64_t s = 0; s < n_segs; ++s)
-          seg_bs[seg0 + s] = static_cast<int32_t>(bases[s]);
-        for (int64_t m = seg0 / seg_per_mid; m < seg_end_pad / seg_per_mid;
-             ++m)
-          mid_bd[m] = static_cast<int32_t>(bd);
-        int64_t segk = 0;
-        for (int64_t p = 0; p < j - i; ++p) {
-          while (segk + 1 < n_segs && starts[segk + 1] <= p) ++segk;
-          const int64_t e = order[p];
-          const int64_t slot = (seg0 + segk) * chunk + (p - starts[segk]);
-          flat_src[slot] = static_cast<int32_t>(src[e] - bases[segk]);
-          flat_dst[slot] = static_cast<int32_t>(dst[e] - bd);
-          flat_w[slot] = w[e];
-        }
-      });
-}
-
-}  // extern "C"
-
-// CSR-direct banded packer: canonical CSR (sorted indices, no dups) IS
-// (dst, src)-lexsorted, so the Python wrapper can skip the COO expansion,
-// int64 casts, and lexsort entirely when packing without a permutation.
-// Band walk over indptr; per band, edges sort stable by int32 src.
-// Output contract identical to ppnp_band_fill.
-
-namespace {
-
-template <typename Emit>
-int64_t band_walk_csr(int64_t n_rows, int64_t n_rows_pad, int64_t n_cols_pad,
-                      const int64_t* indptr, const int32_t* indices,
-                      int32_t window, int32_t window_src, int32_t chunk,
-                      int32_t seg_per_mid, Emit emit) {
+// CSR entry: canonical CSR (sorted indices, no duplicates).
+void* ppnp_band_pack_csr(int64_t n_rows, int64_t n_rows_pad,
+                         int64_t n_cols_pad,
+                         const int64_t* indptr, const int32_t* indices,
+                         const float* data,
+                         int32_t window, int32_t window_src, int32_t chunk,
+                         int32_t seg_per_mid) {
+  auto* out = new BandPack;
+  out->chunk = chunk;
+  out->seg_per_mid = seg_per_mid;
   const int64_t nnz = indptr[n_rows];
-  std::vector<int64_t> order;   // global edge ids, band-local src order
-  std::vector<int64_t> starts;  // per-seg start (band-local position)
-  std::vector<int64_t> bases;   // per-seg src base
-  int64_t total_pad_segs = 0;
+  std::vector<int64_t> order;
+  std::vector<int32_t> edge_dst;  // band-local dst row per edge
   int64_t i = 0, r = 0;
   while (i < nnz) {
     while (indptr[r + 1] <= i) ++r;  // row of edge i (skip empty rows)
@@ -260,90 +238,45 @@ int64_t band_walk_csr(int64_t n_rows, int64_t n_rows_pad, int64_t n_cols_pad,
     std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
       return indices[a] < indices[b];
     });
-    starts.clear();
-    bases.clear();
-    const int64_t n = j - i;
-    int64_t k = 0;
-    while (k < n) {
-      const int64_t bs = std::min(
-          (static_cast<int64_t>(indices[order[k]]) >> 3) << 3,
-          n_cols_pad - window_src);
-      int64_t lo = k, hi = n;
-      while (lo < hi) {
-        int64_t m = (lo + hi) / 2;
-        if (indices[order[m]] < bs + window_src) lo = m + 1; else hi = m;
-      }
-      starts.push_back(k);
-      bases.push_back(bs);
-      k = std::min(lo, k + chunk);
+    edge_dst.resize(j - i);
+    for (int64_t rr = r; rr < row_end; ++rr) {
+      const int64_t e0 = std::max(indptr[rr], i);
+      for (int64_t e = e0; e < indptr[rr + 1]; ++e)
+        edge_dst[e - i] = static_cast<int32_t>(rr - bd);
     }
-    total_pad_segs +=
-        ceil_div(static_cast<int64_t>(starts.size()), seg_per_mid) *
-        seg_per_mid;
-    emit(i, j, bd, row_end, order, starts, bases, total_pad_segs);
+    append_band(*out, bd, j - i, n_cols_pad, window_src, chunk, seg_per_mid,
+                [&](int64_t p) {
+                  return static_cast<int64_t>(indices[order[p]]);
+                },
+                [&](int64_t p) {
+                  return static_cast<int64_t>(bd + edge_dst[order[p] - i]);
+                },
+                [&](int64_t p) { return data[order[p]]; });
     i = j;
   }
-  return total_pad_segs;
+  return out;
 }
 
-}  // namespace
-
-extern "C" {
-
-int64_t ppnp_band_count_csr(int64_t n_rows, int64_t n_rows_pad,
-                            int64_t n_cols_pad,
-                            const int64_t* indptr, const int32_t* indices,
-                            int32_t window, int32_t window_src, int32_t chunk,
-                            int32_t seg_per_mid) {
-  return band_walk_csr(
-      n_rows, n_rows_pad, n_cols_pad, indptr, indices, window, window_src,
-      chunk, seg_per_mid,
-      [](int64_t, int64_t, int64_t, int64_t, const std::vector<int64_t>&,
-         const std::vector<int64_t>&, const std::vector<int64_t>&,
-         int64_t) {});
+int64_t ppnp_band_pack_nseg(void* handle) {
+  return static_cast<BandPack*>(handle)->n_seg();
 }
 
-int64_t ppnp_band_fill_csr(int64_t n_rows, int64_t n_rows_pad,
-                           int64_t n_cols_pad,
-                           const int64_t* indptr, const int32_t* indices,
-                           const float* data,
-                           int32_t window, int32_t window_src, int32_t chunk,
-                           int32_t seg_per_mid,
-                           int32_t* seg_bs, int32_t* mid_bd,
-                           int32_t* flat_src, int32_t* flat_dst,
-                           float* flat_w) {
-  std::vector<int32_t> edge_dst;  // per-band scratch: dst row per edge
-  return band_walk_csr(
-      n_rows, n_rows_pad, n_cols_pad, indptr, indices, window, window_src,
-      chunk, seg_per_mid,
-      [&](int64_t i, int64_t j, int64_t bd, int64_t row_end,
-          const std::vector<int64_t>& order, const std::vector<int64_t>& starts,
-          const std::vector<int64_t>& bases, int64_t seg_end_pad) {
-        const int64_t n_segs = static_cast<int64_t>(starts.size());
-        const int64_t band_pad_segs =
-            ceil_div(n_segs, static_cast<int64_t>(seg_per_mid)) * seg_per_mid;
-        const int64_t seg0 = seg_end_pad - band_pad_segs;
-        for (int64_t s = 0; s < n_segs; ++s)
-          seg_bs[seg0 + s] = static_cast<int32_t>(bases[s]);
-        for (int64_t m = seg0 / seg_per_mid; m < seg_end_pad / seg_per_mid;
-             ++m)
-          mid_bd[m] = static_cast<int32_t>(bd);
-        edge_dst.resize(j - i);
-        for (int64_t r = bd; r < row_end; ++r) {
-          const int64_t e0 = std::max(indptr[r], i);
-          for (int64_t e = e0; e < indptr[r + 1]; ++e)
-            edge_dst[e - i] = static_cast<int32_t>(r - bd);
-        }
-        int64_t segk = 0;
-        for (int64_t p = 0; p < j - i; ++p) {
-          while (segk + 1 < n_segs && starts[segk + 1] <= p) ++segk;
-          const int64_t e = order[p];
-          const int64_t slot = (seg0 + segk) * chunk + (p - starts[segk]);
-          flat_src[slot] = static_cast<int32_t>(indices[e] - bases[segk]);
-          flat_dst[slot] = edge_dst[e - i];
-          flat_w[slot] = data[e];
-        }
-      });
+// Copy into caller-allocated, pre-zeroed, globally padded arrays:
+//   seg_bs[>=n_seg], mid_bd[>=n_seg/seg_per_mid],
+//   flat_src/flat_dst/flat_w[>=n_seg*chunk].
+void ppnp_band_pack_take(void* handle, int32_t* seg_bs, int32_t* mid_bd,
+                         int32_t* flat_src, int32_t* flat_dst,
+                         float* flat_w) {
+  auto* p = static_cast<BandPack*>(handle);
+  std::copy(p->seg_bs.begin(), p->seg_bs.end(), seg_bs);
+  std::copy(p->mid_bd.begin(), p->mid_bd.end(), mid_bd);
+  std::copy(p->flat_src.begin(), p->flat_src.end(), flat_src);
+  std::copy(p->flat_dst.begin(), p->flat_dst.end(), flat_dst);
+  std::copy(p->flat_w.begin(), p->flat_w.end(), flat_w);
+}
+
+void ppnp_band_pack_free(void* handle) {
+  delete static_cast<BandPack*>(handle);
 }
 
 }  // extern "C"

@@ -1,17 +1,19 @@
 """ctypes bindings for the C++ native ingest tier (csrc/).
 
 The reference has no native code (SURVEY.md §2.1); this is the
-production-scale host runtime: the pair-chunk packer in C++ (O(nnz),
-single pass per dst window) with a build-on-demand .so and a clean
-fallback to the vectorized numpy implementation when no compiler is
-available.
+production-scale host runtime: the pair-chunk packers in C++ (aligned
+grid: O(nnz) two-pass; banded: single-pass band walk behind an opaque
+handle) with a build-on-demand .so and a clean fallback to the
+vectorized numpy implementations when no compiler is available.
 """
 
 from __future__ import annotations
 
 import ctypes
 import logging
+import shutil
 import subprocess
+import tempfile
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -49,12 +51,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if so is None:
         return None
     lib = ctypes.CDLL(str(so))
-    if not hasattr(lib, "ppnp_band_count"):
-        # Stale .so predating the banded packer (mtime tie): force rebuild.
+    if not hasattr(lib, "ppnp_band_pack"):
+        # Stale .so predating the banded packer (mtime tie). Rebuild, and
+        # load the result under a FRESH path: dlopen caches by path, so
+        # re-CDLLing the same file would return the old mapping.
         try:
             subprocess.run(["make", "-C", str(_CSRC), "clean", "all"],
                            check=True, capture_output=True, timeout=120)
-            lib = ctypes.CDLL(str(so))
+            tmp = Path(tempfile.mkdtemp(prefix="ppnp_pack_")) / so.name
+            shutil.copy2(so, tmp)
+            lib = ctypes.CDLL(str(tmp))
+            if not hasattr(lib, "ppnp_band_pack"):
+                return None
         except (subprocess.SubprocessError, FileNotFoundError, OSError):
             return None
     i64, i32, f32 = (np.ctypeslib.ndpointer(dtype=d, flags="C_CONTIGUOUS")
@@ -68,30 +76,52 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, i64, i32, f32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         i32, i32, i32, i32, f32]
-    lib.ppnp_band_count.restype = ctypes.c_int64
-    lib.ppnp_band_count.argtypes = [
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64, i64,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
-    lib.ppnp_band_fill.restype = ctypes.c_int64
-    lib.ppnp_band_fill.argtypes = [
+    lib.ppnp_band_pack.restype = ctypes.c_void_p
+    lib.ppnp_band_pack.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64, i64, f32,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        i32, i32, i32, i32, f32]
-    lib.ppnp_band_count_csr.restype = ctypes.c_int64
-    lib.ppnp_band_count_csr.argtypes = [
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64, i32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
-    lib.ppnp_band_fill_csr.restype = ctypes.c_int64
-    lib.ppnp_band_fill_csr.argtypes = [
+    lib.ppnp_band_pack_csr.restype = ctypes.c_void_p
+    lib.ppnp_band_pack_csr.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64, i32, f32,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        i32, i32, i32, i32, f32]
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    lib.ppnp_band_pack_nseg.restype = ctypes.c_int64
+    lib.ppnp_band_pack_nseg.argtypes = [ctypes.c_void_p]
+    lib.ppnp_band_pack_take.restype = None
+    lib.ppnp_band_pack_take.argtypes = [
+        ctypes.c_void_p, i32, i32, i32, i32, f32]
+    lib.ppnp_band_pack_free.restype = None
+    lib.ppnp_band_pack_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
 
 def native_available() -> bool:
     return get_lib() is not None
+
+
+def _band_take(lib, handle, chunk: int, seg_per_mid: int,
+               mids_per_step: int) -> Tuple[np.ndarray, np.ndarray,
+                                            np.ndarray, np.ndarray,
+                                            np.ndarray, int, int]:
+    """Copy a BandPack handle into globally padded numpy arrays and free
+    it. Shared epilogue of both banded entry points: the padding rule
+    (whole mids, then a mids_per_step multiple, min one step) must match
+    pair_chunks_banded's numpy path exactly."""
+    try:
+        n_seg = int(lib.ppnp_band_pack_nseg(handle))
+        n_mid = n_seg // seg_per_mid  # per-band padding makes this exact
+        n_mid_pad = -(-max(n_mid, 1) // mids_per_step) * mids_per_step
+        n_seg_pad = n_mid_pad * seg_per_mid
+        seg_bs = np.zeros(n_seg_pad, np.int32)
+        mid_bd = np.zeros(n_mid_pad, np.int32)
+        flat_src = np.zeros(n_seg_pad * chunk, np.int32)
+        flat_dst = np.zeros(n_seg_pad * chunk, np.int32)
+        flat_w = np.zeros(n_seg_pad * chunk, np.float32)
+        lib.ppnp_band_pack_take(handle, seg_bs, mid_bd,
+                                flat_src, flat_dst, flat_w)
+    finally:
+        lib.ppnp_band_pack_free(handle)
+    return seg_bs, mid_bd, flat_src, flat_dst, flat_w, n_seg_pad, n_mid_pad
 
 
 def pack_banded_native(
@@ -111,28 +141,13 @@ def pack_banded_native(
     lib = get_lib()
     if lib is None:
         return None
-    nnz = len(dst)
     dst = np.ascontiguousarray(dst, dtype=np.int64)
     src = np.ascontiguousarray(src, dtype=np.int64)
     w = np.ascontiguousarray(w, dtype=np.float32)
-    n_seg = int(lib.ppnp_band_count(
-        nnz, n_rows_pad, n_cols_pad, dst, src,
-        window, window_src, chunk, seg_per_mid))
-    n_mid = n_seg // seg_per_mid  # count is already a seg_per_mid multiple
-    n_mid_pad = -(-max(n_mid, 1) // mids_per_step) * mids_per_step
-    n_seg_pad = n_mid_pad * seg_per_mid
-
-    seg_bs = np.zeros(n_seg_pad, np.int32)
-    mid_bd = np.zeros(n_mid_pad, np.int32)
-    flat_src = np.zeros(n_seg_pad * chunk, np.int32)
-    flat_dst = np.zeros(n_seg_pad * chunk, np.int32)
-    flat_w = np.zeros(n_seg_pad * chunk, np.float32)
-    written = int(lib.ppnp_band_fill(
-        nnz, n_rows_pad, n_cols_pad, dst, src, w,
-        window, window_src, chunk, seg_per_mid,
-        seg_bs, mid_bd, flat_src, flat_dst, flat_w))
-    assert written == n_seg, (written, n_seg)
-    return seg_bs, mid_bd, flat_src, flat_dst, flat_w, n_seg_pad, n_mid_pad
+    handle = lib.ppnp_band_pack(
+        len(dst), n_rows_pad, n_cols_pad, dst, src, w,
+        window, window_src, chunk, seg_per_mid)
+    return _band_take(lib, handle, chunk, seg_per_mid, mids_per_step)
 
 
 def pack_banded_native_csr(
@@ -150,28 +165,13 @@ def pack_banded_native_csr(
     lib = get_lib()
     if lib is None:
         return None
-    n_rows = csr.shape[0]
     indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)
     indices = np.ascontiguousarray(csr.indices, dtype=np.int32)
     data = np.ascontiguousarray(csr.data, dtype=np.float32)
-    n_seg = int(lib.ppnp_band_count_csr(
-        n_rows, n_rows_pad, n_cols_pad, indptr, indices,
-        window, window_src, chunk, seg_per_mid))
-    n_mid = n_seg // seg_per_mid  # count is already a seg_per_mid multiple
-    n_mid_pad = -(-max(n_mid, 1) // mids_per_step) * mids_per_step
-    n_seg_pad = n_mid_pad * seg_per_mid
-
-    seg_bs = np.zeros(n_seg_pad, np.int32)
-    mid_bd = np.zeros(n_mid_pad, np.int32)
-    flat_src = np.zeros(n_seg_pad * chunk, np.int32)
-    flat_dst = np.zeros(n_seg_pad * chunk, np.int32)
-    flat_w = np.zeros(n_seg_pad * chunk, np.float32)
-    written = int(lib.ppnp_band_fill_csr(
-        n_rows, n_rows_pad, n_cols_pad, indptr, indices, data,
-        window, window_src, chunk, seg_per_mid,
-        seg_bs, mid_bd, flat_src, flat_dst, flat_w))
-    assert written == n_seg, (written, n_seg)
-    return seg_bs, mid_bd, flat_src, flat_dst, flat_w, n_seg_pad, n_mid_pad
+    handle = lib.ppnp_band_pack_csr(
+        csr.shape[0], n_rows_pad, n_cols_pad, indptr, indices, data,
+        window, window_src, chunk, seg_per_mid)
+    return _band_take(lib, handle, chunk, seg_per_mid, mids_per_step)
 
 
 def pack_pair_chunks_native(

@@ -178,7 +178,9 @@ def pair_chunks_from_scipy(
                        "iperm": iperm.astype(np.int32)}
     if use_native in ("auto", "require"):
         from ppnp_tpu import native
-        csr = mat.tocsr()
+        csr = mat.tocsr()  # returns mat itself when already CSR
+        if csr is mat and not csr.has_canonical_format:
+            csr = csr.copy()  # sum_duplicates would mutate the caller's mat
         csr.sum_duplicates()
         packed = native.pack_pair_chunks_native(
             csr, window, chunk, seg_per_mid, mids_per_step,
@@ -208,7 +210,9 @@ def pair_chunks_from_scipy(
             raise RuntimeError("native packer unavailable "
                                "(csrc build failed and use_native='require')")
 
-    coo = mat.tocoo()
+    coo = mat.tocoo()  # returns mat itself when already COO
+    if coo is mat and not coo.has_canonical_format:
+        coo = coo.copy()  # sum_duplicates would mutate the caller's mat
     coo.sum_duplicates()
     n_rows, n_cols = coo.shape
     n_rows_pad = round_up_to_multiple(n_rows, window)
@@ -386,7 +390,9 @@ def pair_chunks_banded(
     if window % 8 or window_src % 8:
         raise ValueError("windows must be sublane (8) aligned")
     perm = _resolve_perm(mat, reorder, perm)
-    csr = mat.tocsr()
+    csr = mat.tocsr()  # returns mat itself when already CSR
+    if csr is mat and not csr.has_canonical_format:
+        csr = csr.copy()  # sum_duplicates would mutate the caller's matrix
     csr.sum_duplicates()  # one slot per coordinate (edge-id contract)
     n_rows, n_cols = csr.shape
     nnz = int(csr.nnz)
@@ -421,7 +427,7 @@ def pair_chunks_banded(
         pc = _attach_edge_ids(pc, edge_ids)
         return to_device(pc) if device else pc
 
-    want_native = use_native in ("auto", "require") and nnz > 0
+    want_native = use_native in ("auto", "require")
     if want_native and perm is None:
         # Fastest path: canonical CSR is already (dst, src)-lexsorted, so
         # the C++ packer walks indptr directly — no COO expansion, int64
@@ -517,18 +523,8 @@ def pair_chunks_banded(
         mid_bd[sb // seg_per_mid:
                int(seg_base[b + 1]) // seg_per_mid] = band_bd[b]
 
-    pc = PairChunks(
-        seg_bs=seg_bs,
-        mid_bd=mid_bd,
-        e_src=flat_src.reshape(n_seg_pad, chunk).T.copy(),
-        e_w=flat_w.reshape(n_seg_pad, chunk).T.copy(),
-        e_dst=flat_dst.reshape(n_mid_pad, mid),
-        n_rows=n_rows, n_rows_pad=n_rows_pad, n_cols_pad=n_cols_pad,
-        window=window, window_src=window_src, chunk=chunk,
-        seg_per_mid=seg_per_mid, nnz=nnz, mids_per_step=mids_per_step,
-        n_cols=n_cols, align=8, **perm_arrays)
-    pc = _attach_edge_ids(pc, edge_ids)
-    return to_device(pc) if device else pc
+    return _assemble((seg_bs, mid_bd, flat_src, flat_dst, flat_w,
+                      n_seg_pad, n_mid_pad))
 
 
 def to_device(pc: PairChunks) -> PairChunks:

@@ -298,3 +298,26 @@ def test_banded_native_require_raises_when_unavailable():
         pc = pair_chunks_banded(a, use_native="auto", device=False)
     _assert_packings_identical(
         pc, pair_chunks_banded(a, use_native="never", device=False))
+
+
+def test_banded_native_empty_matrix():
+    """require must work (not silently fall back) for nnz == 0 too."""
+    _native_or_skip()
+    a = sp.csr_matrix((100, 100), dtype=np.float32)
+    _assert_packings_identical(
+        pair_chunks_banded(a, use_native="never", device=False),
+        pair_chunks_banded(a, use_native="require", device=False))
+
+
+def test_banded_does_not_mutate_caller_matrix():
+    """Packing must not canonicalize the caller's matrix in place."""
+    indptr = np.array([0, 3, 3], dtype=np.int32)
+    indices = np.array([4, 1, 1], dtype=np.int32)  # unsorted + duplicate
+    data = np.array([1.0, 2.0, 3.0], dtype=np.float32)
+    for mode in ("never", "auto"):
+        a = sp.csr_matrix((data.copy(), indices.copy(), indptr.copy()),
+                          shape=(2, 8))
+        pair_chunks_banded(a, use_native=mode, device=False)
+        assert a.nnz == 3
+        np.testing.assert_array_equal(a.indices, indices)
+        np.testing.assert_array_equal(a.data, data)
