@@ -204,3 +204,59 @@ def test_checkpoint_sharded_table_roundtrip(tmp_path):
     replaced = jax.device_put(jnp.asarray(np.asarray(state["table"])), spec)
     assert replaced.sharding == spec
     np.testing.assert_array_equal(np.asarray(replaced), np.asarray(table))
+
+
+def test_bench_orchestrator_parses_and_retries(monkeypatch, capsys):
+    """bench.py's degraded-window orchestrator: keeps the best child
+    line, retries below the healthy watermark, stops at/above it, and
+    emits exactly ONE JSON line (the driver contract)."""
+    import subprocess as sp
+    import types
+
+    import bench
+
+    monkeypatch.setattr(bench, "RETRY_SLEEP_S", 0.0)
+
+    # Child stdout may carry warnings before the JSON line.
+    noisy = ('WARNING: axon is experimental\n'
+             '{"metric": "appnp_propagation_steps_per_s", "value": %s, '
+             '"unit": "steps/s", "vs_baseline": %s}\n')
+    assert bench._parse_line(noisy % (1.0, 1.0))["value"] == 1.0
+    assert bench._parse_line("no json here") is None
+
+    # Attempt 1 hangs (TimeoutExpired), attempt 2 is degraded (below the
+    # watermark), attempt 3 is healthy — orchestrator must report the
+    # healthy value and the attempt count.
+    healthy = bench.HEALTHY_STEPS_PER_S
+    script = [sp.TimeoutExpired(cmd="x", timeout=1),
+              noisy % (healthy * 0.1, 8.0),
+              noisy % (healthy * 1.1, 8.5)]
+
+    def fake_run(cmd, capture_output, text, timeout):
+        step = script.pop(0)
+        if isinstance(step, Exception):
+            raise step
+        return types.SimpleNamespace(stdout=step, returncode=0)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    assert bench.main() == 0
+    out_lines = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert len(out_lines) == 1
+    line = json.loads(out_lines[0])
+    assert line["value"] == pytest.approx(healthy * 1.1)
+    assert line["attempts"] == 3
+
+    # All attempts hang: error line, nonzero exit.
+    script[:] = [sp.TimeoutExpired(cmd="x", timeout=1)] * bench.MAX_ATTEMPTS
+    assert bench.main() == 1
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == 0.0 and "error" in line
+
+    # All attempts degraded: best degraded line is still reported.
+    script[:] = [noisy % (healthy * 0.2, 7.0),
+                 noisy % (healthy * 0.3, 7.5),
+                 noisy % (healthy * 0.25, 7.2)]
+    assert bench.main() == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == pytest.approx(healthy * 0.3)
+    assert line["attempts"] == bench.MAX_ATTEMPTS
