@@ -12,7 +12,13 @@ Layout contract (consumed by ``ppnp_tpu.parallel.sharded``):
 
 - nodes padded to ``n_pad = shard_rows * n_shards``; shard d owns rows
   ``[d·S, (d+1)·S)`` with ``S = shard_rows``.
-- per-shard edge arrays, dst-local and dst-sorted, padded to ``edges_pad``.
+- per-shard edge arrays, dst-local, laid out as TWO independently
+  dst-sorted, independently padded parts concatenated along the edge
+  axis: ``[interior edges (src owned locally) | boundary edges (src
+  remote)]`` with the static split at ``interior_pad``. The interior
+  SpMM therefore carries NO data dependence on the ``all_to_all``
+  result, so XLA's async collectives hide the boundary exchange behind
+  the interior compute (comm/compute overlap).
 - ``send_idx[d, e, :]`` = local row indices shard d sends to shard e
   (padded with 0 — padding slots are simply never referenced).
 - each shard's local gather table is ``concat([H_local (S rows),
@@ -44,7 +50,7 @@ class ShardedGraph:
     each device sees its own slice.
     """
 
-    dst: jnp.ndarray        # int32 [n_shards, E] local dst row, sorted
+    dst: jnp.ndarray        # int32 [n_shards, E] local dst row, per-part sorted
     src: jnp.ndarray        # int32 [n_shards, E] remapped into gather table
     src_global: jnp.ndarray  # int32 [n_shards, E] global src (allgather mode)
     w: jnp.ndarray          # float32 [n_shards, E] (0 for padding)
@@ -55,6 +61,10 @@ class ShardedGraph:
     n_shards: int = struct.field(pytree_node=False)
     boundary: int = struct.field(pytree_node=False)    # B
     nnz: int = struct.field(pytree_node=False)
+    # Static edge-axis split: [:interior_pad] are local-source edges,
+    # [interior_pad:] are boundary (remote-source) edges (module
+    # docstring layout contract).
+    interior_pad: int = struct.field(pytree_node=False)
 
     @property
     def edges_pad(self) -> int:
@@ -97,14 +107,25 @@ def build_sharded_graph(
             max_boundary = max(max_boundary, len(needed))
     boundary = round_up_to_multiple(max_boundary, boundary_pad_multiple)
 
-    # --- per-shard padded edge arrays with remapped sources.
-    max_edges = 1
+    # --- per-shard padded edge arrays with remapped sources, laid out as
+    # [interior | boundary] with independent padding per part so the
+    # interior SpMM is data-independent of the exchange (overlap).
+    max_int = max_bnd = 1
     for d in range(n_shards):
-        max_edges = max(max_edges, int((owner_dst == d).sum()))
-    edges_pad = round_up_to_multiple(max_edges, edge_pad_multiple)
+        mask_d = owner_dst == d
+        n_int = int((owner_src[mask_d] == d).sum())
+        max_int = max(max_int, n_int)
+        max_bnd = max(max_bnd, int(mask_d.sum()) - n_int)
+    interior_pad = round_up_to_multiple(max_int, edge_pad_multiple)
+    boundary_pad = round_up_to_multiple(max_bnd, edge_pad_multiple)
+    edges_pad = interior_pad + boundary_pad
 
+    # Padding slots: w=0; dst = shard_rows-1 (>= every real local dst, so
+    # each part's tail keeps it dst-sorted); interior src = 0 (a local
+    # row), boundary src = shard_rows (recv row 0) — both in-range.
     dst = np.full((n_shards, edges_pad), shard_rows - 1, dtype=np.int32)
     src = np.zeros((n_shards, edges_pad), dtype=np.int32)
+    src[:, interior_pad:] = shard_rows
     srcg = np.zeros((n_shards, edges_pad), dtype=np.int32)
     w = np.zeros((n_shards, edges_pad), dtype=np.float32)
     send_idx = np.zeros((n_shards, n_shards, boundary), dtype=np.int32)
@@ -115,8 +136,8 @@ def build_sharded_graph(
         e_src = src_g[mask_d]
         e_w = w_g[mask_d]
         # Remap sources into the local gather table.
-        remap = np.empty(len(e_src), dtype=np.int64)
         local = owner_src[mask_d] == d
+        remap = np.empty(len(e_src), dtype=np.int64)
         remap[local] = e_src[local] - d * shard_rows
         for o in range(n_shards):
             if o == d:
@@ -127,15 +148,16 @@ def build_sharded_graph(
             lst = send_lists[(o, d)]
             pos = np.searchsorted(lst, e_src[sel])
             remap[sel] = shard_rows + o * boundary + pos
-        # dst-sorted (stable to keep CSR source order within a row).
-        order = np.argsort(e_dst, kind="stable")
-        ne = len(e_dst)
-        dst[d, :ne] = e_dst[order]
-        src[d, :ne] = remap[order]
-        srcg[d, :ne] = e_src[order]
-        w[d, :ne] = e_w[order]
-        # Keep padding dst at the end sorted: pad value is shard_rows-1,
-        # which is >= every real local dst, so sortedness holds.
+        # Each part dst-sorted (stable keeps CSR source order per row).
+        for part, base in ((local, 0), (~local, interior_pad)):
+            p_dst, p_src = e_dst[part], e_src[part]
+            p_remap, p_w = remap[part], e_w[part]
+            order = np.argsort(p_dst, kind="stable")
+            ne = len(p_dst)
+            dst[d, base:base + ne] = p_dst[order]
+            src[d, base:base + ne] = p_remap[order]
+            srcg[d, base:base + ne] = p_src[order]
+            w[d, base:base + ne] = p_w[order]
         for e in range(n_shards):
             if e == d:
                 continue
@@ -147,7 +169,8 @@ def build_sharded_graph(
         src_global=jnp.asarray(srcg), w=jnp.asarray(w),
         send_idx=jnp.asarray(send_idx),
         n_rows=n, n_pad=n_pad, shard_rows=shard_rows,
-        n_shards=n_shards, boundary=boundary, nnz=int(csr.nnz))
+        n_shards=n_shards, boundary=boundary, nnz=int(csr.nnz),
+        interior_pad=interior_pad)
 
 
 def _pad_pair_chunks(pc, n_seg_to: int, n_mid_to: int):
@@ -179,27 +202,34 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
                               **pack_kwargs):
     """Per-shard Pallas packings of the LOCAL operators, stacked.
 
-    Shard d's local SpMM is the rectangular matrix
-    ``A_d: (shard_rows × table_len)`` over its gather table
-    ``[H_local | recv]`` (module docstring layout contract). Each shard's
-    forward packing, transpose packing (for the SpMM adjoint), and
-    slot-permutation are built host-side, padded to one common static
-    geometry, and stacked along a leading shard axis so ``shard_map``
-    hands every device its own slice.
+    Shard d's local SpMM is split at the partition's static
+    ``interior_pad`` mark into TWO operators (the comm/compute-overlap
+    decomposition, same as the XLA sharded path):
 
-    Returns ``(pc_stacked, pc_t_stacked, w_perm_stacked)`` — PairChunks
-    pytrees whose array leaves have a leading ``n_shards`` dimension
-    (static fields are shard-invariant by construction).
+    - interior ``A_i: (shard_rows × shard_rows)`` over the local H rows
+      only — no data dependence on the exchange, so the all_to_all
+      overlaps with this (large) kernel;
+    - boundary ``A_b: (shard_rows × n_shards·boundary)`` over the recv
+      rows only (columns shifted by ``-shard_rows``), chained through
+      the interior result via the kernel's fused ``init`` accumulator.
+
+    Each shard's forward packing, transpose packing (for the SpMM
+    adjoint), and slot-permutation are built host-side, padded to one
+    common static geometry per part, and stacked along a leading shard
+    axis so ``shard_map`` hands every device its own slice.
+
+    Returns ``((pc_i, pc_b), (pc_i_t, pc_b_t), (perm_i, perm_b))`` —
+    PairChunks pytrees whose array leaves have a leading ``n_shards``
+    dimension (static fields are shard-invariant by construction).
     ``with_adjoint=False`` skips the transpose packings and slot
     permutations (eval-only uses, e.g. the scaling benchmark) and
-    returns ``(pc_stacked, None, None)``.
+    returns ``((pc_i, pc_b), None, None)``.
     """
     import jax
     import jax.numpy as jnp
     from ppnp_tpu.ops.pairchunks import (packer_for, slot_permutation,
                                          transpose_pair)
 
-    table_len = sg.shard_rows + sg.n_shards * sg.boundary
     dst = np.asarray(sg.dst)
     src = np.asarray(sg.src)
     w = np.asarray(sg.w)
@@ -209,18 +239,6 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
     pack_kwargs.setdefault("device", False)
     layout = pack_kwargs.pop("layout", "banded")
     packer = packer_for(layout)
-
-    pcs, pcts, perms = [], [], []
-    for d in range(sg.n_shards):
-        real = w[d] != 0
-        a_d = sp.coo_matrix(
-            (w[d][real], (dst[d][real], src[d][real])),
-            shape=(sg.shard_rows, table_len)).tocsr()
-        pcs.append(packer(a_d, **pack_kwargs))
-        if with_adjoint:
-            pc_t = transpose_pair(a_d, layout=layout, **pack_kwargs)
-            perms.append(slot_permutation(pcs[-1], pc_t))
-            pcts.append(pc_t)
 
     def common(pclist):
         mps = pclist[0].mids_per_step
@@ -233,13 +251,36 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
                 for p in pclist]
 
     stack = lambda *xs: jnp.stack(xs)  # noqa: E731
-    pcs = common(pcs)
+
+    def pack_part(sl, n_cols, col_off):
+        pcs, pcts, perms = [], [], []
+        for d in range(sg.n_shards):
+            real = w[d, sl] != 0
+            a_d = sp.coo_matrix(
+                (w[d, sl][real],
+                 (dst[d, sl][real], src[d, sl][real] - col_off)),
+                shape=(sg.shard_rows, n_cols)).tocsr()
+            pcs.append(packer(a_d, **pack_kwargs))
+            if with_adjoint:
+                pc_t = transpose_pair(a_d, layout=layout, **pack_kwargs)
+                perms.append(slot_permutation(pcs[-1], pc_t))
+                pcts.append(pc_t)
+        pcs = common(pcs)
+        pc_stacked = jax.tree.map(stack, *pcs)
+        if not with_adjoint:
+            return pc_stacked, None, None
+        pcts = common(pcts)
+        n_slots_t = pcts[0].n_seg * pcts[0].chunk
+        perm = np.full((sg.n_shards, n_slots_t), -1, dtype=np.int64)
+        for d, p in enumerate(perms):
+            perm[d, :len(p)] = p
+        return pc_stacked, jax.tree.map(stack, *pcts), jnp.asarray(perm)
+
+    ip = sg.interior_pad
+    interior = pack_part(slice(None, ip), sg.shard_rows, 0)
+    boundary = pack_part(slice(ip, None), sg.n_shards * sg.boundary,
+                         sg.shard_rows)
     if not with_adjoint:
-        return jax.tree.map(stack, *pcs), None, None
-    pcts = common(pcts)
-    n_slots_t = pcts[0].n_seg * pcts[0].chunk
-    perm = np.full((sg.n_shards, n_slots_t), -1, dtype=np.int64)
-    for d, p in enumerate(perms):
-        perm[d, :len(p)] = p
-    return (jax.tree.map(stack, *pcs), jax.tree.map(stack, *pcts),
-            jnp.asarray(perm))
+        return (interior[0], boundary[0]), None, None
+    return ((interior[0], boundary[0]), (interior[1], boundary[1]),
+            (interior[2], boundary[2]))

@@ -4,7 +4,10 @@ No reference analog (SURVEY.md §2.2). Per BASELINE.json:5: each
 power-iteration step is (1) boundary-row exchange — ``all_to_all`` of the
 precomputed send lists (or a plain ``all_gather`` fallback) — then (2) a
 local SpMM over the shard's edges, then (3) the α-mix with the local slice
-of H⁰. The node axis is simultaneously the data-parallel and the
+of H⁰. The XLA path splits (2) at the partition's static
+``interior_pad`` mark: interior edges read only local H rows, so the
+exchange overlaps with the interior SpMM (comm/compute latency hiding);
+only the boundary edges wait on ``recv``. The node axis is simultaneously the data-parallel and the
 model/row-sharding axis (the graph analog of sequence parallelism —
 SURVEY.md §5 "long-context" row).
 
@@ -46,9 +49,12 @@ class ShardedPowerIteration:
 
     graph: ShardedGraph
     mesh: Mesh = struct.field(pytree_node=False)
-    pair_chunks: Optional[object] = None     # stacked per-shard PairChunks
-    pair_chunks_t: Optional[object] = None   # stacked transpose packings
-    w_perm: Optional[jnp.ndarray] = None     # stacked slot permutations
+    # (interior, boundary) tuples of stacked per-shard packings /
+    # transpose packings / slot permutations, from
+    # partition.build_sharded_pair_chunks.
+    pair_chunks: Optional[object] = None
+    pair_chunks_t: Optional[object] = None
+    w_perm: Optional[object] = None
     alpha: float = struct.field(pytree_node=False, default=0.1)
     niter: int = struct.field(pytree_node=False, default=10)
     drop_prob: float = struct.field(pytree_node=False, default=0.5)
@@ -70,12 +76,19 @@ class ShardedPowerIteration:
         apply_drop = bool(train and self.drop_prob > 0.0 and key is not None)
         alpha = self.alpha
 
+        ip = g.interior_pad  # static [interior | boundary] edge split
+
         def shard_fn(h0_loc, dst, src, srcg, w, send_idx, keys):
             # Per-device slices keep a leading length-1 shard axis.
             dst, src, srcg, w = dst[0], src[0], srcg[0], w[0]
             send_idx = send_idx[0]
             me = jax.lax.axis_index(self.axis)
             alpha_h0 = alpha * h0_loc
+
+            def segsum(gathered, w_part, dst_part):
+                return jax.ops.segment_sum(
+                    gathered * w_part[:, None], dst_part,
+                    num_segments=g.shard_rows, indices_are_sorted=True)
 
             def step(h_loc, k):
                 if apply_drop:
@@ -87,21 +100,27 @@ class ShardedPowerIteration:
                 if self.exchange == "allgather":
                     table = jax.lax.all_gather(h_loc, self.axis, axis=0,
                                                tiled=True)
-                    gathered = jnp.take(table, srcg, axis=0)
+                    # Parts are only individually dst-sorted: two segsums.
+                    out = (segsum(jnp.take(table, srcg[:ip], axis=0),
+                                  w_it[:ip], dst[:ip])
+                           + segsum(jnp.take(table, srcg[ip:], axis=0),
+                                    w_it[ip:], dst[ip:]))
                 else:
                     # Boundary exchange: send the precomputed row lists,
-                    # receive every other shard's contribution, and gather
-                    # from [local rows | received rows] via remapped src.
+                    # receive every other shard's contribution. The
+                    # interior SpMM reads only h_loc, so XLA's async
+                    # collectives overlap the all_to_all with it; only
+                    # the (small) boundary SpMM waits for recv.
                     send = jnp.take(h_loc, send_idx, axis=0)  # (nd, B, c)
                     recv = jax.lax.all_to_all(
                         send, self.axis, split_axis=0, concat_axis=0,
                         tiled=False)
-                    table = jnp.concatenate(
-                        [h_loc, recv.reshape(-1, c)], axis=0)
-                    gathered = jnp.take(table, src, axis=0)
-                out = jax.ops.segment_sum(
-                    gathered * w_it[:, None], dst,
-                    num_segments=g.shard_rows, indices_are_sorted=True)
+                    out = segsum(jnp.take(h_loc, src[:ip], axis=0),
+                                 w_it[:ip], dst[:ip])
+                    out = out + segsum(
+                        jnp.take(recv.reshape(-1, c),
+                                 src[ip:] - g.shard_rows, axis=0),
+                        w_it[ip:], dst[ip:])
                 return (1.0 - alpha) * out + alpha_h0, None
 
             h_loc, _ = jax.lax.scan(step, h0_loc, keys)
@@ -122,9 +141,11 @@ class ShardedPowerIteration:
     def _propagate_pallas(self, h0: jnp.ndarray, *, key, train):
         """Sharded propagation with the pair-chunk MXU kernel per shard.
 
-        Same exchange schedule as the XLA path; only the local SpMM and
-        the α-mix change: ``out_loc = A_w_loc @ [H_loc | recv] + α·H⁰_loc``
-        is one fused kernel per step per shard.
+        Same exchange schedule as the XLA path, including the overlap
+        decomposition: the interior operator reads only ``H_loc`` so the
+        all_to_all hides behind its (large) kernel, and the boundary
+        operator chains through the kernel's fused ``init`` accumulator:
+        ``out = A_b @ recv + (A_i @ H_loc + α·H⁰_loc)``.
         """
         if self.exchange != "alltoall":
             raise ValueError("pallas sharded propagation requires "
@@ -141,51 +162,68 @@ class ShardedPowerIteration:
         alpha = self.alpha
         differentiable = self.pair_chunks_t is not None
 
-        def shard_fn(h0_loc, pc, pc_t, w_perm, send_idx, keys):
-            pc = jax.tree.map(lambda x: x[0], pc)
+        def shard_fn(h0_loc, pcs, pcs_t, w_perms, send_idx, keys):
+            pc_i, pc_b = jax.tree.map(lambda x: x[0], pcs)
             send_idx = send_idx[0]
             if differentiable:
-                pc_t = jax.tree.map(lambda x: x[0], pc_t)
-                w_perm = w_perm[0]
+                pc_i_t, pc_b_t = jax.tree.map(lambda x: x[0], pcs_t)
+                perm_i, perm_b = w_perms[0][0], w_perms[1][0]
+            else:
+                pc_i_t = pc_b_t = perm_i = perm_b = None
             me = jax.lax.axis_index(self.axis)
-            init = alpha * h0_loc  # fused α-mix accumulator seed
-            use_ids = (differentiable and pc.eid_hi is not None
-                       and pc_t.eid_hi is not None)
+            alpha_h0 = alpha * h0_loc  # fused α-mix accumulator seed
+            use_ids = (differentiable and pc_i.eid_hi is not None
+                       and pc_i_t.eid_hi is not None)
 
-            def local_spmm(table, w_it, w_t):
+            def local_spmm(pc, pc_t, perm, table, w_it, w_t, init):
                 if differentiable:
-                    return _spmm_vjp(table, w_it, init, pc, pc_t, w_perm,
+                    return _spmm_vjp(table, w_it, init, pc, pc_t, perm,
                                      w_t, False)
                 from ppnp_tpu.kernels import spmm as spmm_mod
                 return spmm_mod.spmm_pair_chunks(
                     pc, table, w_it, init=init, assume_permuted=True)
 
-            def step(h_loc, k):
+            def part_weights(k_part, pc, pc_t):
+                """(forward, transpose) weights for one operator part."""
                 w_t = None
                 if apply_drop:
-                    # Decorrelate shards: each owns a disjoint edge set.
-                    k_me = jax.random.fold_in(k, me)
                     if use_ids:
                         # Id-keyed masks regenerate identically in the
                         # transpose packing — gather-free backward.
-                        w_it = edge_dropout_by_id(k_me, pc,
+                        w_it = edge_dropout_by_id(k_part, pc,
                                                   self.drop_prob)
                         w_t = (1.0 - alpha) * edge_dropout_by_id(
-                            k_me, pc_t, self.drop_prob)
+                            k_part, pc_t, self.drop_prob)
                     else:
-                        w_it = edge_dropout(k_me, pc.e_w, self.drop_prob)
+                        w_it = edge_dropout(k_part, pc.e_w, self.drop_prob)
                 else:
                     w_it = pc.e_w
                     if differentiable:
                         w_t = (1.0 - alpha) * pc_t.e_w
-                w_it = (1.0 - alpha) * w_it
+                return (1.0 - alpha) * w_it, w_t
+
+            def step(h_loc, k):
+                if apply_drop:
+                    # Decorrelate shards (disjoint edge sets) and the two
+                    # operator parts (their per-matrix edge ids overlap).
+                    k_me = jax.random.fold_in(k, me)
+                    k_i = jax.random.fold_in(k_me, 0)
+                    k_b = jax.random.fold_in(k_me, 1)
+                else:
+                    k_i = k_b = None
+                w_i, w_i_t = part_weights(k_i, pc_i, pc_i_t)
+                w_b, w_b_t = part_weights(k_b, pc_b, pc_b_t)
                 send = jnp.take(h_loc, send_idx, axis=0)  # (nd, B, c)
                 recv = jax.lax.all_to_all(
                     send, self.axis, split_axis=0, concat_axis=0,
                     tiled=False)
-                table = jnp.concatenate([h_loc, recv.reshape(-1, c)],
-                                        axis=0)
-                return local_spmm(table, w_it, w_t), None
+                # Interior kernel depends only on h_loc — the all_to_all
+                # overlaps with it; the boundary kernel waits on recv.
+                out = local_spmm(pc_i, pc_i_t, perm_i, h_loc, w_i, w_i_t,
+                                 alpha_h0)
+                out = local_spmm(pc_b, pc_b_t, perm_b, recv.reshape(-1, c),
+                                 w_b, w_b_t, out)
+                return out, None
 
             h_loc, _ = jax.lax.scan(step, h0_loc, keys)
             return h_loc

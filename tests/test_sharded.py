@@ -71,6 +71,39 @@ def test_partition_plan_consistency(setup):
     assert int((w != 0).sum()) == sg.nnz
 
 
+def test_partition_interior_boundary_split(setup):
+    """The static [interior | boundary] split: every real interior slot
+    reads a local row, every real boundary slot reads a recv row, each
+    part is dst-sorted, and the split loses no edges (the overlap layout
+    the XLA sharded path slices at ``interior_pad``)."""
+    a_hat, _, _ = setup
+    sg = build_sharded_graph(a_hat, n_shards=4)
+    dst = np.asarray(sg.dst)
+    src = np.asarray(sg.src)
+    srcg = np.asarray(sg.src_global)
+    w = np.asarray(sg.w)
+    S, ip = sg.shard_rows, sg.interior_pad
+    coo = a_hat.tocoo()
+    triples = set(zip(coo.row.tolist(), coo.col.tolist(),
+                      np.round(coo.data, 6).tolist()))
+    seen = set()
+    for d in range(sg.n_shards):
+        real_i = w[d, :ip] != 0
+        real_b = w[d, ip:] != 0
+        assert (src[d, :ip][real_i] < S).all()
+        assert (src[d, ip:][real_b] >= S).all()
+        # Each part individually dst-sorted (padding included).
+        assert (np.diff(dst[d, :ip]) >= 0).all()
+        assert (np.diff(dst[d, ip:]) >= 0).all()
+        for sl, part in (((slice(None, ip)), real_i),
+                         ((slice(ip, None)), real_b)):
+            rows = dst[d, sl][part] + d * S
+            cols = srcg[d, sl][part]
+            vals = np.round(w[d, sl][part], 6)
+            seen.update(zip(rows.tolist(), cols.tolist(), vals.tolist()))
+    assert seen == triples
+
+
 def test_sharded_train_mode_stochastic(setup):
     a_hat, h0, _ = setup
     mesh = make_mesh(n_devices=4)
