@@ -35,7 +35,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--test", action="store_true",
                    help="evaluate on the held-out test population")
-    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--backend", default="xla",
+                   choices=["xla", "pallas", "blocked"],
+                   help="SpMM path: blocked = HBM-streaming row "
+                        "blocks for graphs larger than VMEM")
+    p.add_argument("--rows-per-block", type=int, default=32768)
     p.add_argument("--layout", default="banded",
                    choices=["banded", "aligned"],
                    help="pallas slot packing (docs/PERFORMANCE.md)")
@@ -55,6 +59,7 @@ def _cfg_from_args(args) -> RunConfig:
         backend=args.backend, layout=getattr(args, "layout", "banded"),
         exchange=args.exchange,
         n_shards=args.n_shards, print_interval=args.print_interval,
+        rows_per_block=getattr(args, 'rows_per_block', 32768),
         metrics_path=getattr(args, "metrics_out", None),
         checkpoint_dir=getattr(args, "checkpoint_dir", None),
         resume=getattr(args, "resume", False),

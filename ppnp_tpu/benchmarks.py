@@ -98,8 +98,15 @@ def bench_propagation(
         "backends": {},
     }
     for backend in backends:
-        pc = (pair_chunks_banded(a_hat, reorder="rcm")
-              if backend == "pallas" else None)
+        if backend == "pallas":
+            pc = pair_chunks_banded(a_hat, reorder="rcm")
+        elif backend == "blocked":
+            # HBM-streaming row blocks (kernels/blocked.py) — the
+            # single-chip path for graphs whose H outgrows VMEM.
+            from ppnp_tpu.kernels.blocked import build_blocked_pair_chunks
+            pc = build_blocked_pair_chunks(a_hat, with_adjoint=False)
+        else:
+            pc = None
         prop = PPRPowerIteration(edges=edges, pair_chunks=pc, alpha=alpha,
                                  niter=niter, backend=backend)
         f = jax.jit(lambda h, p=prop: p(h, train=False))

@@ -65,6 +65,14 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
                                   layout=cfg.layout)
             perm = jnp.asarray(slot_permutation(pc, pc_t))
             pc, pc_t = to_device(pc), to_device(pc_t)
+        elif cfg.backend == "blocked":
+            # HBM-streaming row blocks for graphs whose H outgrows VMEM
+            # on one chip (ppnp_tpu.kernels.blocked).
+            from ppnp_tpu.kernels.blocked import build_blocked_pair_chunks
+            pc = build_blocked_pair_chunks(
+                a_hat, rows_per_block=cfg.rows_per_block)
+            logger.info("blocked: %d blocks of %d rows, H window %d",
+                        pc.n_blocks, pc.rows_per_block, pc.hw)
         return PPRPowerIteration(
             edges=edge_list_from_scipy(a_hat), pair_chunks=pc,
             pair_chunks_t=pc_t, w_perm=perm,

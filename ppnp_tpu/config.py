@@ -34,10 +34,11 @@ class RunConfig:
     propagation: str = "power"   # power | exact | sharded
     alpha: Optional[float] = None  # None → dataset default
     niter: int = 10
-    backend: str = "xla"         # xla | pallas (power iteration SpMM)
+    backend: str = "xla"         # xla | pallas | blocked (SpMM path)
     layout: str = "banded"       # pallas packing: banded | aligned
     exchange: str = "alltoall"   # sharded: alltoall | allgather
     n_shards: Optional[int] = None  # sharded: None → all devices
+    rows_per_block: int = 32768  # blocked: rows per HBM-streamed block
 
     # optimization
     learning_rate: float = 0.01

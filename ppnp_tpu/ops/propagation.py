@@ -74,7 +74,10 @@ class PPRPowerIteration:
     """
 
     edges: EdgeList
-    pair_chunks: Optional[object] = None    # PairChunks, backend="pallas"
+    # backend="pallas": PairChunks (+ transpose packing / slot perm);
+    # backend="blocked": a kernels.blocked.BlockedPairChunks in
+    # pair_chunks (it carries its own adjoint packings).
+    pair_chunks: Optional[object] = None
     pair_chunks_t: Optional[object] = None  # transpose packing (backward)
     w_perm: Optional[jnp.ndarray] = None    # slot perm pc→pc_t weights
     alpha: float = struct.field(pytree_node=False, default=0.1)
@@ -94,6 +97,9 @@ class PPRPowerIteration:
 
         if self.backend == "pallas":
             return self._propagate_pallas(h0, key=key, apply_drop=apply_drop)
+        if self.backend == "blocked":
+            return self._propagate_blocked(h0, key=key,
+                                           apply_drop=apply_drop)
 
         alpha_h0 = self.alpha * h0
         if apply_drop:
@@ -186,6 +192,44 @@ class PPRPowerIteration:
         hp = hp[:n]
         if pc.iperm is not None:
             hp = jnp.take(hp, pc.iperm, axis=0)
+        return hp
+
+    def _propagate_blocked(self, h0: jnp.ndarray, *, key, apply_drop):
+        """HBM-streaming path for graphs whose H/out outgrow VMEM.
+
+        Each step scans the row blocks of ``kernels.blocked``: slice the
+        block's H window from HBM, run the fused MXU kernel, stitch the
+        block outputs (module docstring of ``ppnp_tpu.kernels.blocked``).
+        """
+        from ppnp_tpu.kernels.blocked import spmm_blocked
+
+        bpc = self.pair_chunks
+        one_minus_alpha = 1.0 - self.alpha
+        n = h0.shape[0]
+
+        hp = jnp.take(h0, bpc.perm, axis=0) if bpc.perm is not None else h0
+        hp = jnp.pad(hp, ((0, bpc.n_pad - n), (0, 0)))
+        init = self.alpha * hp  # α·H⁰, padded, packed order
+
+        if apply_drop:
+            keys = jax.random.split(key, self.niter)
+
+            def step(h, k):
+                return spmm_blocked(bpc, h, init=init, key=k,
+                                    drop_prob=self.drop_prob,
+                                    scale=one_minus_alpha), None
+
+            hp, _ = jax.lax.scan(step, hp, keys)
+        else:
+            def step(h, _):
+                return spmm_blocked(bpc, h, init=init,
+                                    scale=one_minus_alpha), None
+
+            hp, _ = jax.lax.scan(step, hp, None, length=self.niter)
+
+        hp = hp[:n]
+        if bpc.iperm is not None:
+            hp = jnp.take(hp, bpc.iperm, axis=0)
         return hp
 
     def __call__(self, h_local: jnp.ndarray, idx: Optional[jnp.ndarray] = None,
