@@ -77,7 +77,13 @@ def measure_once() -> int:
 
 
 def _parse_line(stdout: str):
-    """Last JSON object on the child's stdout, or None."""
+    """Last measurement JSON object on the child's stdout, or None.
+
+    Error lines (child ran but every backend failed) are rejected so a
+    persistent real failure keeps ``best`` empty and main() exits 1 —
+    otherwise a kernel regression would be recorded as a successful
+    0.0-steps/s measurement.
+    """
     for raw in reversed(stdout.strip().splitlines()):
         raw = raw.strip()
         if raw.startswith("{"):
@@ -85,7 +91,7 @@ def _parse_line(stdout: str):
                 obj = json.loads(raw)
             except json.JSONDecodeError:
                 continue
-            if obj.get("metric"):
+            if obj.get("metric") and "error" not in obj:
                 return obj
     return None
 

@@ -91,8 +91,10 @@ def build_blocked_pair_chunks(
     edge_ids, use_native, ...).
     """
     from ppnp_tpu.ops.pairchunks import (_resolve_perm, pair_chunks_banded,
-                                         slot_permutation, transpose_pair)
-    from ppnp_tpu.parallel.partition import _pad_pair_chunks
+                                         pad_stack_pair_chunks,
+                                         slot_permutation,
+                                         stack_slot_permutations,
+                                         transpose_ids, transpose_pair)
 
     csr = mat.tocsr()
     if csr is mat and not csr.has_canonical_format:
@@ -116,15 +118,16 @@ def build_blocked_pair_chunks(
     n_blocks = max(1, -(-n // r))
     n_pad = r * n_blocks
 
-    # Common H-window size: max block column span, 8-aligned, clamped to
-    # the padded node count (tiny graphs: one window covers everything).
-    spans = []
-    lo_list = []
-    for b in range(n_blocks):
-        sub = csr[b * r: min((b + 1) * r, n)]
+    # One CSR slice per block, reused for the window measurement and the
+    # packing. Common H-window size: max block column span, 8-aligned,
+    # clamped to the padded node count (tiny graphs: one window covers
+    # everything).
+    subs = [csr[b * r: min((b + 1) * r, n)].tocoo() for b in range(n_blocks)]
+    spans, lo_list = [], []
+    for sub in subs:
         if sub.nnz:
-            lo = int(sub.indices.min()) >> 3 << 3
-            spans.append(int(sub.indices.max()) + 1 - lo)
+            lo = int(sub.col.min()) >> 3 << 3
+            spans.append(int(sub.col.max()) + 1 - lo)
         else:
             lo = 0
             spans.append(8)
@@ -135,37 +138,30 @@ def build_blocked_pair_chunks(
 
     pack_kwargs.setdefault("device", False)
     pack_kwargs.setdefault("use_native", "auto")
+    # The transpose packing needs the FLIPPED edge-id orientation or
+    # id-keyed dropout draws different masks in the backward operator.
+    t_kwargs = dict(pack_kwargs)
+    t_kwargs["edge_ids"] = transpose_ids(
+        pack_kwargs.get("edge_ids", "direct"))
     pcs, pcts, perms = [], [], []
-    for b in range(n_blocks):
-        sub = csr[b * r: min((b + 1) * r, n)].tocoo()
+    for b, sub in enumerate(subs):
         a_b = sp.coo_matrix(
             (sub.data, (sub.row, sub.col - col_lo[b])),
             shape=(r, hw)).tocsr()
         pcs.append(pair_chunks_banded(a_b, **pack_kwargs))
         if with_adjoint:
-            pc_t = transpose_pair(a_b, layout="banded", **pack_kwargs)
+            pc_t = transpose_pair(a_b, layout="banded", **t_kwargs)
             perms.append(slot_permutation(pcs[-1], pc_t))
             pcts.append(pc_t)
+    del subs
 
-    def common(pclist):
-        mps = pclist[0].mids_per_step
-        n_mid = round_up_to_multiple(max(p.n_mid for p in pclist), mps)
-        n_seg = n_mid * pclist[0].seg_per_mid
-        nnz = max(p.nnz for p in pclist)  # static metadata: block max
-        return [_pad_pair_chunks(p, n_seg, n_mid).replace(nnz=nnz)
-                for p in pclist]
-
-    stack = lambda *xs: jnp.stack(xs)  # noqa: E731
-    pcs_stacked = jax.tree.map(stack, *common(pcs))
+    pcs_stacked = pad_stack_pair_chunks(pcs)
     pcts_stacked = w_perms = None
     if with_adjoint:
-        pcts = common(pcts)
-        n_slots_t = pcts[0].n_seg * pcts[0].chunk
-        parr = np.full((n_blocks, n_slots_t), -1, dtype=np.int64)
-        for b, p in enumerate(perms):
-            parr[b, :len(p)] = p
-        pcts_stacked = jax.tree.map(stack, *pcts)
-        w_perms = jnp.asarray(parr)
+        pcts_stacked = pad_stack_pair_chunks(pcts)
+        n_slots_t = int(pcts_stacked.e_src.shape[-1]) * pcts[0].chunk
+        w_perms = jnp.asarray(
+            stack_slot_permutations(perms, n_slots_t))
 
     iperm = None
     if gperm is not None:

@@ -580,6 +580,69 @@ def packer_for(layout: str):
                      "(expected 'banded' or 'aligned')")
 
 
+def transpose_ids(forward_edge_ids: Optional[str]) -> Optional[str]:
+    """The ``transpose_pair`` edge-id orientation matching a FORWARD
+    packing's ``edge_ids``, so per-edge dropout masks regenerate
+    identically in both packings (see ``_attach_edge_ids``). Use this
+    when forwarding a caller's pack kwargs to ``transpose_pair`` —
+    passing the forward orientation through unchanged silently draws
+    DIFFERENT masks in the backward operator."""
+    return {"direct": "transpose", "transpose": "direct",
+            None: None}[forward_edge_ids]
+
+
+def pad_pair_chunks(pc: PairChunks, n_seg_to: int,
+                    n_mid_to: int) -> PairChunks:
+    """Pad a PairChunks to a given (n_seg, n_mid) geometry.
+
+    Padding segments/midchunks carry w=0 and base row 0 — they stream
+    through the kernel and contribute exact zeros, the same invariant
+    as the packer's own padding.
+    """
+    import jax.numpy as jnp
+    dseg = n_seg_to - pc.n_seg
+    dmid = n_mid_to - pc.n_mid
+    pad_seg = lambda a: (None if a is None  # noqa: E731
+                         else jnp.pad(a, ((0, 0), (0, dseg))))
+    # replace() pads exactly the geometry-dependent arrays and inherits
+    # every other (incl. future) field untouched.
+    return pc.replace(
+        seg_bs=jnp.pad(pc.seg_bs, (0, dseg)),
+        mid_bd=jnp.pad(pc.mid_bd, (0, dmid)),
+        e_src=jnp.pad(pc.e_src, ((0, 0), (0, dseg))),
+        e_w=pad_seg(pc.e_w),
+        e_dst=jnp.pad(pc.e_dst, ((0, dmid), (0, 0))),
+        eid_hi=pad_seg(pc.eid_hi), eid_lo=pad_seg(pc.eid_lo))
+
+
+def pad_stack_pair_chunks(pclist) -> PairChunks:
+    """Pad a list of same-layout PairChunks to one common static
+    geometry and stack the array leaves along a new leading axis (the
+    shard/block axis consumed inside shard_map / the block scan).
+
+    Static fields must be identical to stack; ``nnz`` is metadata only
+    (roofline accounting) and is replaced by the per-member max.
+    """
+    import jax
+    import jax.numpy as jnp
+    mps = pclist[0].mids_per_step
+    n_mid = round_up_to_multiple(max(p.n_mid for p in pclist), mps)
+    n_seg = n_mid * pclist[0].seg_per_mid
+    nnz = max(p.nnz for p in pclist)
+    padded = [pad_pair_chunks(p, n_seg, n_mid).replace(nnz=nnz)
+              for p in pclist]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+
+
+def stack_slot_permutations(perms, n_slots_t: int) -> np.ndarray:
+    """Stack per-member slot permutations, -1-padded to a common width
+    (matches the padded transpose geometry's slot count)."""
+    out = np.full((len(perms), n_slots_t), -1, dtype=np.int64)
+    for i, p in enumerate(perms):
+        out[i, :len(p)] = p
+    return out
+
+
 def transpose_pair(mat: sp.spmatrix, edge_ids: Optional[str] = "transpose",
                    layout: str = "banded", **kwargs) -> PairChunks:
     """Pack Âᵀ (for the SpMM adjoint — the backward pass's operator).

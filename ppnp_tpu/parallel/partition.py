@@ -173,30 +173,6 @@ def build_sharded_graph(
         interior_pad=interior_pad)
 
 
-def _pad_pair_chunks(pc, n_seg_to: int, n_mid_to: int):
-    """Pad a PairChunks to a common (n_seg, n_mid) geometry.
-
-    Padding segments/midchunks carry w=0 and base row 0 — they stream
-    through the kernel and contribute exact zeros, the same invariant as
-    the packer's own padding.
-    """
-    import jax.numpy as jnp
-    from ppnp_tpu.ops.pairchunks import PairChunks
-    dseg = n_seg_to - pc.n_seg
-    dmid = n_mid_to - pc.n_mid
-    pad_seg = lambda a: (None if a is None  # noqa: E731
-                         else jnp.pad(a, ((0, 0), (0, dseg))))
-    # replace() pads exactly the geometry-dependent arrays and inherits
-    # every other (incl. future) field untouched.
-    return pc.replace(
-        seg_bs=jnp.pad(pc.seg_bs, (0, dseg)),
-        mid_bd=jnp.pad(pc.mid_bd, (0, dmid)),
-        e_src=jnp.pad(pc.e_src, ((0, 0), (0, dseg))),
-        e_w=pad_seg(pc.e_w),
-        e_dst=jnp.pad(pc.e_dst, ((0, dmid), (0, 0))),
-        eid_hi=pad_seg(pc.eid_hi), eid_lo=pad_seg(pc.eid_lo))
-
-
 def build_sharded_pair_chunks(sg: ShardedGraph,
                               with_adjoint: bool = True,
                               **pack_kwargs):
@@ -225,10 +201,11 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
     permutations (eval-only uses, e.g. the scaling benchmark) and
     returns ``((pc_i, pc_b), None, None)``.
     """
-    import jax
     import jax.numpy as jnp
-    from ppnp_tpu.ops.pairchunks import (packer_for, slot_permutation,
-                                         transpose_pair)
+    from ppnp_tpu.ops.pairchunks import (packer_for, pad_stack_pair_chunks,
+                                         slot_permutation,
+                                         stack_slot_permutations,
+                                         transpose_ids, transpose_pair)
 
     dst = np.asarray(sg.dst)
     src = np.asarray(sg.src)
@@ -239,18 +216,11 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
     pack_kwargs.setdefault("device", False)
     layout = pack_kwargs.pop("layout", "banded")
     packer = packer_for(layout)
-
-    def common(pclist):
-        mps = pclist[0].mids_per_step
-        n_mid = round_up_to_multiple(max(p.n_mid for p in pclist), mps)
-        n_seg = n_mid * pclist[0].seg_per_mid
-        # Static fields must be shard-invariant to stack; nnz is metadata
-        # only (roofline accounting) — record the per-shard max.
-        nnz = max(p.nnz for p in pclist)
-        return [_pad_pair_chunks(p, n_seg, n_mid).replace(nnz=nnz)
-                for p in pclist]
-
-    stack = lambda *xs: jnp.stack(xs)  # noqa: E731
+    # The transpose packing needs the FLIPPED edge-id orientation or
+    # id-keyed dropout draws different masks in the backward operator.
+    t_kwargs = dict(pack_kwargs)
+    t_kwargs["edge_ids"] = transpose_ids(
+        pack_kwargs.get("edge_ids", "direct"))
 
     def pack_part(sl, n_cols, col_off):
         pcs, pcts, perms = [], [], []
@@ -262,19 +232,16 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
                 shape=(sg.shard_rows, n_cols)).tocsr()
             pcs.append(packer(a_d, **pack_kwargs))
             if with_adjoint:
-                pc_t = transpose_pair(a_d, layout=layout, **pack_kwargs)
+                pc_t = transpose_pair(a_d, layout=layout, **t_kwargs)
                 perms.append(slot_permutation(pcs[-1], pc_t))
                 pcts.append(pc_t)
-        pcs = common(pcs)
-        pc_stacked = jax.tree.map(stack, *pcs)
+        pc_stacked = pad_stack_pair_chunks(pcs)
         if not with_adjoint:
             return pc_stacked, None, None
-        pcts = common(pcts)
-        n_slots_t = pcts[0].n_seg * pcts[0].chunk
-        perm = np.full((sg.n_shards, n_slots_t), -1, dtype=np.int64)
-        for d, p in enumerate(perms):
-            perm[d, :len(p)] = p
-        return pc_stacked, jax.tree.map(stack, *pcts), jnp.asarray(perm)
+        pcts_stacked = pad_stack_pair_chunks(pcts)
+        n_slots_t = int(pcts_stacked.e_src.shape[-1]) * pcts[0].chunk
+        perm = stack_slot_permutations(perms, n_slots_t)
+        return pc_stacked, pcts_stacked, jnp.asarray(perm)
 
     ip = sg.interior_pad
     interior = pack_part(slice(None, ip), sg.shard_rows, 0)

@@ -164,3 +164,26 @@ def test_blocked_requires_aligned_blocks(graph_setup):
     a, _ = graph_setup
     with pytest.raises(ValueError, match="sublane"):
         build_blocked_pair_chunks(a, rows_per_block=100)
+
+
+def test_blocked_id_masks_match_forward_and_transpose(graph_setup):
+    """Id-keyed dropout must draw the SAME mask for an edge in the
+    forward and transpose packings, including when the caller forwards
+    edge_ids explicitly (the orientation is flipped for the transpose)."""
+    from ppnp_tpu.kernels.spmm import transfer_weights
+    from ppnp_tpu.ops.dropout import edge_dropout_by_id
+
+    a, _ = graph_setup
+    bpc = build_blocked_pair_chunks(a, rows_per_block=256,
+                                    use_native="never", edge_ids="direct")
+    key = jax.random.PRNGKey(7)
+    for b in range(bpc.n_blocks):
+        pc_b = jax.tree.map(lambda x: x[b], bpc.pcs)
+        pc_t_b = jax.tree.map(lambda x: x[b], bpc.pcs_t)
+        w_f = edge_dropout_by_id(key, pc_b, 0.5)
+        w_t = edge_dropout_by_id(key, pc_t_b, 0.5)
+        # Transfer the forward mask onto the transpose layout: it must
+        # equal the transpose packing's own id-regenerated mask.
+        w_t_ref = transfer_weights(w_f, bpc.w_perms[b], pc_b.chunk)
+        np.testing.assert_allclose(np.asarray(w_t), np.asarray(w_t_ref),
+                                   rtol=1e-6, atol=1e-6)

@@ -260,3 +260,27 @@ def test_bench_orchestrator_parses_and_retries(monkeypatch, capsys):
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["value"] == pytest.approx(healthy * 0.3)
     assert line["attempts"] == bench.MAX_ATTEMPTS
+
+
+def test_bench_orchestrator_rejects_child_error_lines(monkeypatch, capsys):
+    """A child that RAN but reported a backend-error line must not be
+    recorded as a successful 0.0 measurement — the orchestrator exits 1
+    (a kernel regression is not a degraded-window artifact)."""
+    import types
+
+    import bench
+
+    monkeypatch.setattr(bench, "RETRY_SLEEP_S", 0.0)
+    err_line = ('{"metric": "appnp_propagation_steps_per_s", "value": 0.0,'
+                ' "unit": "steps/s", "vs_baseline": 0.0,'
+                ' "error": {"xla": {"error": "boom"}}}\n')
+    assert bench._parse_line(err_line) is None
+    script = [err_line] * bench.MAX_ATTEMPTS
+
+    def fake_run(cmd, capture_output, text, timeout):
+        return types.SimpleNamespace(stdout=script.pop(0), returncode=1)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    assert bench.main() == 1
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == 0.0 and "error" in line
