@@ -129,6 +129,10 @@ def cmd_bench(args) -> int:
     elif args.ingest:
         from ppnp_tpu.benchmarks import bench_ingest
         res = bench_ingest()
+    elif args.blocked_scale:
+        from ppnp_tpu.benchmarks import bench_blocked
+        res = bench_blocked(n_nodes=args.blocked_nodes, c=args.c,
+                            niter=args.niter, iters=args.iters)
     elif args.scaling:
         res = bench_scaling(dataset=args.dataset, c=args.c,
                             niter=args.niter, iters=args.iters,
@@ -222,6 +226,10 @@ def main(argv=None) -> int:
                    help="steady-state training epochs/s")
     p.add_argument("--retrieval", action="store_true",
                    help="top-k retrieval queries/s")
+    p.add_argument("--blocked-scale", action="store_true",
+                   help="XLA vs HBM-streaming blocked backend on a "
+                        "VMEM-exceeding synthetic banded graph")
+    p.add_argument("--blocked-nodes", type=int, default=500_000)
     p.add_argument("--ingest", action="store_true",
                    help="host-side packing edges/s (numpy vs C++)")
     p.add_argument("--epochs", type=int, default=50)

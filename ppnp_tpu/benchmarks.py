@@ -129,6 +129,86 @@ def bench_propagation(
     return result
 
 
+def bench_blocked(
+    n_nodes: int = 500_000,
+    n_edges: int = 5_000_000,
+    bandwidth: int = 2_000,
+    c: int = 128,
+    niter: int = 20,
+    iters: int = 3,
+    rows_per_block: int = 32768,
+    seed: int = 0,
+) -> Dict:
+    """XLA vs blocked HBM-streaming propagation on a VMEM-exceeding graph.
+
+    At the default size H alone is n·c·4 = 256MB — far beyond the
+    VMEM-resident kernel's reach on one chip — so the contenders are the
+    XLA gather+segment-sum path and ``kernels.blocked``. The graph is the
+    synthetic banded shape of ``bench_ingest`` (what citation graphs look
+    like after RCM), so ``reorder=None`` at pack time: the bandwidth is
+    already bounded.
+    """
+    import scipy.sparse as sp
+
+    from ppnp_tpu.kernels.blocked import build_blocked_pair_chunks
+
+    rng = np.random.default_rng(seed)
+    dst = rng.integers(0, n_nodes, n_edges)
+    off = (rng.standard_normal(n_edges) * bandwidth).astype(np.int64)
+    src = np.clip(dst + off, 0, n_nodes - 1)
+    a_hat = sp.coo_matrix((np.ones(n_edges, np.float32), (dst, src)),
+                          shape=(n_nodes, n_nodes)).tocsr()
+    a_hat.sum_duplicates()
+    del dst, src, off
+    nnz = int(a_hat.nnz)
+
+    bytes_per_step = nnz * 8 + 2 * n_nodes * c * 4
+    sol_step_s = bytes_per_step / HBM_BYTES_PER_S
+    result: Dict = {
+        "n": n_nodes, "nnz": nnz, "c": c, "niter": niter,
+        "bandwidth": bandwidth, "rows_per_block": rows_per_block,
+        "bytes_per_step": int(bytes_per_step),
+        "sol_step_us": sol_step_s * 1e6,
+        "device": str(jax.devices()[0]),
+        "backends": {},
+    }
+    h0 = jnp.asarray(np.random.RandomState(seed).randn(n_nodes, c)
+                     .astype(np.float32))
+    for backend in ("xla", "blocked"):
+        if backend == "blocked":
+            pc = build_blocked_pair_chunks(
+                a_hat, rows_per_block=rows_per_block, reorder=None,
+                with_adjoint=False)
+            prop = PPRPowerIteration(edges=None, pair_chunks=pc,
+                                     alpha=0.1, niter=niter,
+                                     backend="blocked")
+        else:
+            prop = PPRPowerIteration(edges=edge_list_from_scipy(a_hat),
+                                     alpha=0.1, niter=niter, backend="xla")
+        f = jax.jit(lambda h, p=prop: p.propagate(h, train=False))
+        try:
+            t = _time(f, h0, iters=iters)
+        except Exception as e:  # pragma: no cover - backend unavailable
+            logger.warning("backend %s failed: %s", backend, str(e)[:200])
+            result["backends"][backend] = {"error": str(e)[:500]}
+            continue
+        step_s = t / niter
+        result["backends"][backend] = {
+            "seconds_per_call": t,
+            "steps_per_s": 1.0 / step_s,
+            "effective_gbps": bytes_per_step / step_s / 1e9,
+            "fraction_of_sol": sol_step_s / step_s,
+        }
+        logger.info("%s: %.0f steps/s (%.1f ms/step, %.1f%% of SOL)",
+                    backend, 1 / step_s, step_s * 1e3,
+                    100 * sol_step_s / step_s)
+    b = result["backends"]
+    if "error" not in b.get("blocked", {"error": 1}) and        "error" not in b.get("xla", {"error": 1}):
+        result["blocked_speedup"] = (b["blocked"]["steps_per_s"]
+                                     / b["xla"]["steps_per_s"])
+    return result
+
+
 def bench_scaling(
     dataset: str = "pubmed",
     c: int = 128,
