@@ -83,6 +83,14 @@ def test_builders_all_propagations(small_graph):
     p3 = build_propagator(RunConfig(propagation="sharded", n_shards=4),
                           small_graph)
     assert isinstance(p3, ShardedPowerIteration)
+    from ppnp_tpu.kernels.blocked import BlockedPairChunks
+    p4 = build_propagator(
+        RunConfig(propagation="power", backend="blocked",
+                  rows_per_block=64), small_graph)
+    assert isinstance(p4, PPRPowerIteration)
+    assert p4.backend == "blocked"
+    assert isinstance(p4.pair_chunks, BlockedPairChunks)
+    assert p4.pair_chunks.pcs_t is not None  # trainable by default
     with pytest.raises(ValueError):
         build_propagator(RunConfig(propagation="bogus"), small_graph)
 
