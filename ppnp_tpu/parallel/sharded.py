@@ -100,8 +100,11 @@ class ShardedPowerIteration:
                 if self.exchange == "allgather":
                     table = jax.lax.all_gather(h_loc, self.axis, axis=0,
                                                tiled=True)
-                    # Parts are only individually dst-sorted: two segsums.
-                    out = (segsum(jnp.take(table, srcg[:ip], axis=0),
+                    # Interior edges read only local rows (src[:ip] is
+                    # the local index), so the all_gather overlaps with
+                    # the interior segsum exactly like the alltoall path;
+                    # only the boundary segsum waits on the table.
+                    out = (segsum(jnp.take(h_loc, src[:ip], axis=0),
                                   w_it[:ip], dst[:ip])
                            + segsum(jnp.take(table, srcg[ip:], axis=0),
                                     w_it[ip:], dst[ip:]))
