@@ -7,4 +7,6 @@ gather and scatter are reformulated as small one-hot matmuls against a
 VMEM-resident H (see ``ppnp_tpu.ops.pairchunks`` for the packing).
 """
 
+from ppnp_tpu.kernels.blocked import (  # noqa: F401
+    BlockedPairChunks, build_blocked_pair_chunks, spmm_blocked)
 from ppnp_tpu.kernels.spmm import spmm_pair_chunks  # noqa: F401
