@@ -187,3 +187,28 @@ def test_blocked_id_masks_match_forward_and_transpose(graph_setup):
         w_t_ref = transfer_weights(w_f, bpc.w_perms[b], pc_b.chunk)
         np.testing.assert_allclose(np.asarray(w_t), np.asarray(w_t_ref),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_blocked_end_to_end_training():
+    """Full train_model through the blocked backend (interpret mode):
+    builders-style construction, fused epoch chunks, grads through the
+    per-block adjoints, early-stopping eval — loss must decrease."""
+    from ppnp_tpu.train import train_model
+
+    g = make_attributed_sbm(300, 3, 24, 1500, seed=2).standardize()
+    a = calc_A_hat(g.adj_matrix)
+    bpc = build_blocked_pair_chunks(a, rows_per_block=128,
+                                    use_native="never")
+    prop = PPRPowerIteration(edges=edge_list_from_scipy(a), pair_chunks=bpc,
+                             alpha=0.1, niter=3, drop_prob=0.3,
+                             backend="blocked")
+    with mock.patch.object(spmm_mod, "spmm_pair_chunks", interp):
+        params, res = train_model(
+            g, prop, hidden_units=[16], drop_prob=0.3, seed=0,
+            idx_split_args={"ntrain_per_class": 8, "nstopping": 40,
+                            "nknown": 150, "seed": 1},
+            stopping_args={"max_epochs": 8, "patience": 8},
+            epoch_chunk=4, print_interval=0)
+    assert 0.0 <= res["early_stopping"]["accuracy"] <= 1.0
+    assert res["valtest"]["accuracy"] > 0.3  # learned something in 8 epochs
+    assert np.isfinite(res["runtime"])
