@@ -93,16 +93,30 @@ def build_sharded_graph(
     owner_dst = dst_g // shard_rows
     owner_src = src_g // shard_rows
 
+    # Group edges ONCE by (owner_dst, owner_src): one stable sort +
+    # searchsorted instead of per-(d,o)-pair full-array masks, which
+    # would be O(n_shards² · nnz) — catastrophic at pod scale. Stable
+    # sort keeps CSR (dst, src) order inside every group, and owners
+    # ascend with src, so the per-shard boundary concatenation below
+    # stays ascending-src within each dst row — bit-identical output.
+    pair_key = owner_dst * n_shards + owner_src
+    grouped = np.argsort(pair_key, kind="stable")
+    bounds = np.searchsorted(pair_key[grouped],
+                             np.arange(n_shards * n_shards + 1))
+
+    def group(d, o):  # edge indices of (owner_dst=d, owner_src=o)
+        k = d * n_shards + o
+        return grouped[bounds[k]:bounds[k + 1]]
+
     # --- boundary plan: send_lists[o][d] = sorted unique global rows
     # owned by o that shard d needs from o.
     send_lists: Dict[Tuple[int, int], np.ndarray] = {}
     max_boundary = 1
     for d in range(n_shards):
-        mask_d = owner_dst == d
         for o in range(n_shards):
             if o == d:
                 continue
-            needed = np.unique(src_g[mask_d & (owner_src == o)])
+            needed = np.unique(src_g[group(d, o)])
             send_lists[(o, d)] = needed
             max_boundary = max(max_boundary, len(needed))
     boundary = round_up_to_multiple(max_boundary, boundary_pad_multiple)
@@ -112,10 +126,10 @@ def build_sharded_graph(
     # interior SpMM is data-independent of the exchange (overlap).
     max_int = max_bnd = 1
     for d in range(n_shards):
-        mask_d = owner_dst == d
-        n_int = int((owner_src[mask_d] == d).sum())
+        n_int = len(group(d, d))
+        n_all = bounds[(d + 1) * n_shards] - bounds[d * n_shards]
         max_int = max(max_int, n_int)
-        max_bnd = max(max_bnd, int(mask_d.sum()) - n_int)
+        max_bnd = max(max_bnd, int(n_all) - n_int)
     interior_pad = round_up_to_multiple(max_int, edge_pad_multiple)
     boundary_pad = round_up_to_multiple(max_bnd, edge_pad_multiple)
     edges_pad = interior_pad + boundary_pad
@@ -131,33 +145,33 @@ def build_sharded_graph(
     send_idx = np.zeros((n_shards, n_shards, boundary), dtype=np.int32)
 
     for d in range(n_shards):
-        mask_d = owner_dst == d
-        e_dst = dst_g[mask_d] - d * shard_rows
-        e_src = src_g[mask_d]
-        e_w = w_g[mask_d]
-        # Remap sources into the local gather table.
-        local = owner_src[mask_d] == d
-        remap = np.empty(len(e_src), dtype=np.int64)
-        remap[local] = e_src[local] - d * shard_rows
-        for o in range(n_shards):
-            if o == d:
-                continue
-            sel = owner_src[mask_d] == o
-            if not sel.any():
+        gi = group(d, d)
+        # Boundary: per-owner groups, ascending o (ascending global src
+        # within each dst row after the stable dst sort below).
+        go = [group(d, o) for o in range(n_shards) if o != d]
+        owners = [o for o in range(n_shards) if o != d]
+        remaps = []
+        for o, g_e in zip(owners, go):
+            if len(g_e) == 0:
+                remaps.append(np.empty(0, dtype=np.int64))
                 continue
             lst = send_lists[(o, d)]
-            pos = np.searchsorted(lst, e_src[sel])
-            remap[sel] = shard_rows + o * boundary + pos
-        # Each part dst-sorted (stable keeps CSR source order per row).
-        for part, base in ((local, 0), (~local, interior_pad)):
-            p_dst, p_src = e_dst[part], e_src[part]
-            p_remap, p_w = remap[part], e_w[part]
-            order = np.argsort(p_dst, kind="stable")
-            ne = len(p_dst)
-            dst[d, base:base + ne] = p_dst[order]
-            src[d, base:base + ne] = p_remap[order]
-            srcg[d, base:base + ne] = p_src[order]
-            w[d, base:base + ne] = p_w[order]
+            pos = np.searchsorted(lst, src_g[g_e])
+            remaps.append(shard_rows + o * boundary + pos)
+        gb = (np.concatenate(go) if go
+              else np.empty(0, dtype=np.int64))
+        rb = (np.concatenate(remaps) if remaps
+              else np.empty(0, dtype=np.int64))
+        parts = [(gi, src_g[gi] - d * shard_rows, 0),
+                 (gb, rb, interior_pad)]
+        for g_e, remap, base in parts:
+            e_dst = dst_g[g_e] - d * shard_rows
+            order = np.argsort(e_dst, kind="stable")
+            ne = len(g_e)
+            dst[d, base:base + ne] = e_dst[order]
+            src[d, base:base + ne] = remap[order]
+            srcg[d, base:base + ne] = src_g[g_e][order]
+            w[d, base:base + ne] = w_g[g_e][order]
         for e in range(n_shards):
             if e == d:
                 continue
