@@ -292,3 +292,18 @@ def test_bench_orchestrator_rejects_child_error_lines(monkeypatch, capsys):
     assert bench.main() == 1
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["value"] == 0.0 and "error" in line
+
+
+def test_bench_blocked_structure():
+    """bench_blocked at toy size: the XLA arm must measure; the blocked
+    arm either measures (TPU) or records a clean per-backend error
+    (CPU: pallas is interpret-only), never raises."""
+    from ppnp_tpu.benchmarks import bench_blocked
+
+    res = bench_blocked(n_nodes=2000, n_edges=10_000, bandwidth=200,
+                        c=8, niter=2, iters=2, rows_per_block=512)
+    assert res["n"] == 2000 and res["backends"]
+    xla = res["backends"]["xla"]
+    assert "error" not in xla and xla["steps_per_s"] > 0
+    blk = res["backends"]["blocked"]
+    assert ("error" in blk) or blk["steps_per_s"] > 0
