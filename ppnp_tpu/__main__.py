@@ -46,6 +46,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--exchange", default="alltoall",
                    choices=["alltoall", "allgather"])
     p.add_argument("--n-shards", type=int, default=None)
+    p.add_argument("--shard-reorder", default="rcm",
+                   choices=["rcm", "none"],
+                   help="relabel nodes before row-partitioning so shard "
+                        "boundaries shrink (sharded propagation only)")
     p.add_argument("--print-interval", type=int, default=20)
 
 
@@ -60,6 +64,7 @@ def _cfg_from_args(args) -> RunConfig:
         exchange=args.exchange,
         n_shards=args.n_shards, print_interval=args.print_interval,
         rows_per_block=getattr(args, 'rows_per_block', 32768),
+        shard_reorder=getattr(args, 'shard_reorder', 'rcm'),
         metrics_path=getattr(args, "metrics_out", None),
         checkpoint_dir=getattr(args, "checkpoint_dir", None),
         resume=getattr(args, "resume", False),

@@ -27,7 +27,16 @@ __all__ = ["load_graph", "build_propagator", "train_kwargs"]
 
 
 def load_graph(cfg: RunConfig) -> SparseGraph:
-    return load_dataset(cfg.dataset).standardize()
+    graph = load_dataset(cfg.dataset).standardize()
+    if cfg.propagation == "sharded" and cfg.shard_reorder == "rcm":
+        # Relabel by a bandwidth-reducing order BEFORE row-partitioning:
+        # RCM clusters each node's neighbors near it, so far fewer edges
+        # cross shard boundaries and the per-step exchange shrinks
+        # (docs/DISTRIBUTED.md). The permuted graph is the same graph
+        # under a new numbering — splits/metrics/names stay consistent.
+        from ppnp_tpu.ops.pairchunks import rcm_permutation
+        graph.permute(rcm_permutation(graph.adj_matrix))
+    return graph
 
 
 def resolve_alpha(cfg: RunConfig) -> float:

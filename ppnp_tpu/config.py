@@ -39,6 +39,8 @@ class RunConfig:
     exchange: str = "alltoall"   # sharded: alltoall | allgather
     n_shards: Optional[int] = None  # sharded: None → all devices
     rows_per_block: int = 32768  # blocked: rows per HBM-streamed block
+    shard_reorder: str = "rcm"   # sharded: relabel before partitioning
+    #                              ("rcm" | "none") — shrinks boundaries
 
     # optimization
     learning_rate: float = 0.01

@@ -160,6 +160,29 @@ class SparseGraph:
         keep = largest_connected_components(self, n_components)
         return self._subgraph(keep)
 
+    def permute(self, perm: np.ndarray) -> "SparseGraph":
+        """Relabel nodes by ``perm`` (new position -> old index), in place.
+
+        A permuted graph is the same graph with a new node numbering —
+        every aligned array (adjacency rows+cols, attributes, labels,
+        node names) is reordered consistently, so accuracy metrics and
+        name lookups are unchanged. Used to apply a bandwidth-reducing
+        order (RCM) BEFORE row-partitioning so shard boundaries shrink
+        (docs/DISTRIBUTED.md).
+        """
+        perm = np.asarray(perm)
+        if len(perm) != self.num_nodes():
+            raise ValueError(f"perm has {len(perm)} entries for a "
+                             f"{self.num_nodes()}-node graph")
+        self.adj_matrix = self.adj_matrix[perm][:, perm].tocsr()
+        if self.attr_matrix is not None:
+            self.attr_matrix = self.attr_matrix[perm]
+        if self.labels is not None:
+            self.labels = self.labels[perm]
+        if self.node_names is not None:
+            self.node_names = self.node_names[perm]
+        return self
+
     def _subgraph(self, nodes_to_keep: np.ndarray) -> "SparseGraph":
         """Restrict to the given nodes and reindex (in place)."""
         nodes_to_keep = np.asarray(sorted(nodes_to_keep))

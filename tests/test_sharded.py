@@ -235,3 +235,55 @@ def test_bench_scaling_smoke_cpu_mesh():
     for ns, row in res["shards"].items():
         assert row["steps_per_s"] > 0
         assert row["boundary_rows"] >= 1
+
+
+def test_shard_reorder_rcm_shrinks_boundary():
+    """Global RCM relabel before partitioning: on a (scrambled) banded
+    graph the boundary shrinks and most edges become interior — i.e.
+    overlappable with the exchange (docs/DISTRIBUTED.md)."""
+    import scipy.sparse as sp
+
+    from ppnp_tpu.ops.pairchunks import rcm_permutation
+
+    rng = np.random.default_rng(0)
+    n, m, bw = 4000, 24000, 150
+    d = rng.integers(0, n, m)
+    s_ = np.clip(d + (rng.standard_normal(m) * bw).astype(np.int64),
+                 0, n - 1)
+    a = sp.coo_matrix((np.ones(m, np.float32), (d, s_)),
+                      shape=(n, n)).tocsr()
+    a = (a + a.T).tocsr()
+    scramble = rng.permutation(n)
+    a_scr = (a[scramble][:, scramble]).tocsr()
+
+    sg0 = build_sharded_graph(a_scr, n_shards=8)
+    perm = rcm_permutation(a_scr)
+    sg1 = build_sharded_graph((a_scr[perm][:, perm]).tocsr(), n_shards=8)
+    int0 = int((np.asarray(sg0.w)[:, :sg0.interior_pad] != 0).sum())
+    int1 = int((np.asarray(sg1.w)[:, :sg1.interior_pad] != 0).sum())
+    assert sg1.boundary < sg0.boundary
+    assert int1 > 2 * int0  # far more of the SpMM overlaps the exchange
+
+
+def test_sparsegraph_permute_consistency():
+    """permute() relabels every aligned array together: edges map
+    through the permutation and labels follow their nodes."""
+    from ppnp_tpu.data.synthetic import make_attributed_sbm
+
+    g = make_attributed_sbm(200, 3, 16, 800, seed=4).standardize()
+    n = g.num_nodes()
+    adj0 = g.adj_matrix.copy()
+    labels0 = g.labels.copy()
+    attr0 = np.asarray(g.attr_matrix.todense())
+    perm = np.random.RandomState(0).permutation(n)
+    g.permute(perm)
+    np.testing.assert_array_equal(g.labels, labels0[perm])
+    np.testing.assert_array_equal(np.asarray(g.attr_matrix.todense()),
+                                  attr0[perm])
+    # edge (i, j) in the new numbering == (perm[i], perm[j]) originally
+    coo = g.adj_matrix.tocoo()
+    for i, j in list(zip(coo.row[:50], coo.col[:50])):
+        assert adj0[perm[i], perm[j]] != 0
+    assert g.adj_matrix.nnz == adj0.nnz
+    with pytest.raises(ValueError):
+        g.permute(np.arange(n - 1))
