@@ -307,3 +307,18 @@ def test_bench_blocked_structure():
     assert "error" not in xla and xla["steps_per_s"] > 0
     blk = res["backends"]["blocked"]
     assert ("error" in blk) or blk["steps_per_s"] > 0
+
+
+def test_cli_train_sharded_smoke(capsys):
+    """CLI train --propagation sharded end-to-end on the virtual mesh:
+    exercises load_graph's RCM relabel branch, the builders sharded
+    path, and the result JSON printout."""
+    from ppnp_tpu.__main__ import main
+
+    rc = main(["train", "--dataset", "cora_ml", "--propagation", "sharded",
+               "--max-epochs", "3", "--patience", "3", "--niter", "3",
+               "--print-interval", "0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    row = json.loads(out[out.index("{"):])  # indent=2 multi-line JSON
+    assert 0.0 <= row["valtest"]["accuracy"] <= 1.0
