@@ -41,8 +41,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "blocks for graphs larger than VMEM")
     p.add_argument("--rows-per-block", type=int, default=32768)
     p.add_argument("--layout", default="banded",
-                   choices=["banded", "aligned"],
-                   help="pallas slot packing (docs/PERFORMANCE.md)")
+                   choices=["banded", "aligned", "auto"],
+                   help="pallas slot packing (docs/PERFORMANCE.md); "
+                        "auto = per-graph geometry via the issue-cost "
+                        "model (ops/pairchunks.select_geometry)")
     p.add_argument("--exchange", default="alltoall",
                    choices=["alltoall", "allgather"])
     p.add_argument("--n-shards", type=int, default=None)
@@ -90,6 +92,7 @@ def cmd_train(args) -> int:
         _, result = train_model(
             graph, propagator, metrics=metrics,
             checkpoint_dir=cfg.checkpoint_dir, resume=cfg.resume,
+            profile_dir=getattr(args, "profile", None),
             **train_kwargs(cfg))
     finally:
         # TensorBoard's SummaryWriter buffers (default flush 120s);
@@ -122,6 +125,17 @@ def cmd_reproduce(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if getattr(args, "profile", None):
+        from ppnp_tpu.profiling import trace
+        ctx = trace(args.profile, create_perfetto_trace=True)
+    with ctx:
+        return _cmd_bench_inner(args)
+
+
+def _cmd_bench_inner(args) -> int:
     from ppnp_tpu.benchmarks import bench_propagation, bench_scaling
     if args.training:
         from ppnp_tpu.benchmarks import bench_training
@@ -208,6 +222,9 @@ def main(argv=None) -> int:
                    help="TensorBoard logdir (mirrors epoch metrics)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="jax.profiler trace of the steady-state epoch "
+                        "chunks (perfetto-compatible) into DIR")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("reproduce",
@@ -238,6 +255,9 @@ def main(argv=None) -> int:
     p.add_argument("--ingest", action="store_true",
                    help="host-side packing edges/s (numpy vs C++)")
     p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="jax.profiler trace of the benchmark "
+                        "(perfetto-compatible) into DIR")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("retrieve", help="train + top-k retrieval demo")

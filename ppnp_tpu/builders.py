@@ -46,6 +46,23 @@ def resolve_alpha(cfg: RunConfig) -> float:
     return spec.alpha if spec is not None else 0.1
 
 
+def _resolve_layout(cfg: RunConfig, a_hat) -> Tuple[str, Dict[str, int]]:
+    """(packer layout, explicit geometry kwargs) for the config.
+
+    ``layout="auto"`` runs the issue-cost geometry model ONCE on the
+    full matrix (ppnp_tpu.ops.pairchunks.select_geometry) and pins the
+    result as explicit kwargs, so forward/transpose packings — and every
+    shard of a sharded build — share one static geometry.
+    """
+    if cfg.layout != "auto":
+        return cfg.layout, {}
+    from ppnp_tpu.ops.pairchunks import select_geometry
+    geo = select_geometry(a_hat, reorder="rcm")
+    cost = geo.pop("cost")
+    logger.info("auto geometry: %s (model cost %.3g)", geo, cost)
+    return "banded", geo
+
+
 def build_propagator(cfg: RunConfig, graph: SparseGraph):
     """Construct the propagation operator named by the config."""
     a_hat = calc_A_hat(graph.adj_matrix)
@@ -67,11 +84,13 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
             # used for the forward and transpose packings. Pack + slot
             # permutation run host-side, ONE upload at the end (device
             # round-trips are very slow on tunneled platforms).
-            pc = packer_for(cfg.layout)(a_hat, reorder="rcm", device=False)
+            layout, geo = _resolve_layout(cfg, a_hat)
+            pc = packer_for(layout)(a_hat, reorder="rcm", device=False,
+                                    **geo)
             row_perm = (np.asarray(pc.perm) if pc.perm is not None
                         else None)
             pc_t = transpose_pair(a_hat, perm=row_perm, device=False,
-                                  layout=cfg.layout)
+                                  layout=layout, **geo)
             perm = jnp.asarray(slot_permutation(pc, pc_t))
             pc, pc_t = to_device(pc), to_device(pc_t)
         elif cfg.backend == "blocked":
@@ -99,8 +118,9 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
                     n_shards, sg.shard_rows, sg.boundary, sg.edges_pad)
         pc = pc_t = w_perm = None
         if cfg.backend == "pallas":
+            layout, geo = _resolve_layout(cfg, a_hat)
             pc, pc_t, w_perm = build_sharded_pair_chunks(
-                sg, layout=cfg.layout)
+                sg, layout=layout, **geo)
         return ShardedPowerIteration(
             graph=sg, mesh=mesh, pair_chunks=pc, pair_chunks_t=pc_t,
             w_perm=w_perm, alpha=alpha, niter=cfg.niter,

@@ -35,7 +35,7 @@ class RunConfig:
     alpha: Optional[float] = None  # None → dataset default
     niter: int = 10
     backend: str = "xla"         # xla | pallas | blocked (SpMM path)
-    layout: str = "banded"       # pallas packing: banded | aligned
+    layout: str = "banded"       # pallas packing: banded | aligned | auto
     exchange: str = "alltoall"   # sharded: alltoall | allgather
     n_shards: Optional[int] = None  # sharded: None → all devices
     rows_per_block: int = 32768  # blocked: rows per HBM-streamed block

@@ -205,7 +205,7 @@ def appnp_fused(pc: PairChunks, h0: jnp.ndarray, *,
                 e_w_all: Optional[jnp.ndarray] = None,
                 mode: str = "forward",
                 mids_per_step: Optional[int] = None,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: Optional[bool] = None) -> jnp.ndarray:
     """K APPNP steps in one kernel (packed row order, padded shapes).
 
     ``e_w_all``: (n_iter_planes, CHUNK, n_seg) per-iteration weights
@@ -219,6 +219,10 @@ def appnp_fused(pc: PairChunks, h0: jnp.ndarray, *,
         raise ValueError("fused propagation requires a square packing")
     if mids_per_step is None:
         mids_per_step = pc.mids_per_step
+    if interpret is None:
+        # Auto: compile on TPU-like backends, interpret on CPU (virtual
+        # test mesh / multichip dryrun) — mirrors spmm_pair_chunks.
+        interpret = jax.default_backend() == "cpu"
     if e_w_all is None:
         e_w_all = ((1.0 - alpha) * pc.e_w)[None]
     if e_w_all.shape[0] not in (1, niter):

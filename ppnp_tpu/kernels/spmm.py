@@ -115,7 +115,7 @@ def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
                      e_w: Optional[jnp.ndarray] = None,
                      init: Optional[jnp.ndarray] = None,
                      mids_per_step: Optional[int] = None,
-                     interpret: bool = False,
+                     interpret: Optional[bool] = None,
                      assume_permuted: bool = False,
                      keep_padded: bool = False) -> jnp.ndarray:
     """``A @ H (+ init)`` through the Pallas kernel.
@@ -136,6 +136,11 @@ def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
         e_w = pc.e_w
     if mids_per_step is None:
         mids_per_step = pc.mids_per_step
+    if interpret is None:
+        # Auto: compile on TPU-like backends, interpret elsewhere — so the
+        # pallas backends run unmodified on the virtual CPU test mesh and
+        # in the driver's multichip dryrun.
+        interpret = jax.default_backend() == "cpu"
     # pc.align is authoritative: 0 = window-aligned grid packing, 8 =
     # banded sliding bases (pl.multiple_of must not over-promise).
     align = pc.align or None

@@ -46,8 +46,9 @@ from flax import struct
 from ppnp_tpu.utils.padding import round_up_to_multiple
 
 __all__ = ["PairChunks", "pair_chunks_from_scipy", "pair_chunks_banded",
-           "packer_for", "transpose_pair", "slot_permutation",
-           "rcm_permutation", "to_device"]
+           "pair_chunks_auto", "select_geometry", "packer_for",
+           "transpose_pair", "slot_permutation", "rcm_permutation",
+           "to_device"]
 
 
 @struct.dataclass
@@ -527,6 +528,152 @@ def pair_chunks_banded(
                       n_seg_pad, n_mid_pad))
 
 
+# ------------------------- geometry autotuning ------------------------- #
+# The kernel is MXU-ISSUE-bound (docs/PERFORMANCE.md "Where the time
+# goes"): per step it issues one gather dot per segment and one scatter
+# dot per midchunk. The cost model below was FIT to the measured
+# 9-point geometry sweep on TPU v5e (docs/PERFORMANCE.md table;
+# max 5.3% / mean 2.4% relative error):
+#
+#   t ∝ n_seg_pad · max(15, chunk/1.5)                      [gather dots]
+#     + 16.2 · n_mid_pad · (15 + mid·window/4096)           [scatter dots]
+#
+# The gather term is the small-dot fixed issue cost (~15 cycles for a
+# (M≤16,128)@(128,128) dot, ~1.5 rows/cycle beyond); the scatter term
+# grows with the one-hot's window×MID area. The constant offset of the
+# fit is geometry-independent and drops out of the argmin.
+
+# (window, window_src, chunk) candidates spanning the measured sweep;
+# spm is chosen per (window, chunk) from the per-band counts.
+GEOMETRY_CANDIDATES = tuple((w, 128, ch)
+                            for w in (128, 256, 320, 384)
+                            for ch in (16, 24, 32))
+SPM_CANDIDATES = (16, 32, 64)
+
+
+def banded_segment_counts(dst: np.ndarray, src: np.ndarray,
+                          n_rows_pad: int, n_cols_pad: int,
+                          window: int, window_src: int,
+                          chunk: int) -> np.ndarray:
+    """Per-band segment counts of the banded greedy cut.
+
+    Count-only twin of ``pair_chunks_banded``'s band walk (same maximal
+    8-aligned dst bands, same greedy src-window/chunk cut) — MUST stay
+    in lockstep with it, which ``tests/test_autotune.py`` asserts by
+    packing. ``dst`` must be sorted ascending.
+    """
+    nseg_b = []
+    i, nnz = 0, len(dst)
+    while i < nnz:
+        bd = min((int(dst[i]) >> 3) << 3, n_rows_pad - window)
+        j = int(np.searchsorted(dst, bd + window, side="left"))
+        s_src = np.sort(src[i:j], kind="stable")
+        nseg, k = 0, 0
+        while k < len(s_src):
+            bs = min((int(s_src[k]) >> 3) << 3, n_cols_pad - window_src)
+            end = int(np.searchsorted(s_src, bs + window_src, side="left"))
+            nseg += 1
+            k = min(end, k + chunk)
+        nseg_b.append(nseg)
+        i = j
+    return np.asarray(nseg_b, np.int64)
+
+
+def estimate_step_cost(n_seg_pad: int, n_mid_pad: int, chunk: int,
+                       window: int, seg_per_mid: int) -> float:
+    """Relative per-step MXU issue cost of a banded geometry (see the
+    fitted model above; arbitrary units — valid for argmin only)."""
+    mid = chunk * seg_per_mid
+    gather = n_seg_pad * max(15.0, chunk / 1.5)
+    scatter = 16.2 * n_mid_pad * (15.0 + mid * window / 4096.0)
+    return gather + scatter
+
+
+def select_geometry(
+    mat: sp.spmatrix,
+    reorder: Optional[str] = None,
+    perm: Optional[np.ndarray] = None,
+    mids_per_step: int = 16,
+    sample_rows: int = 131_072,
+    candidates=GEOMETRY_CANDIDATES,
+    spm_candidates=SPM_CANDIDATES,
+) -> dict:
+    """Pick the banded-packer geometry minimizing the issue-cost model.
+
+    Runs the count-only band walk per (window, window_src, chunk)
+    candidate (the spm sweep reuses each walk's per-band counts), on the
+    same permuted matrix the packer will see. Graphs beyond
+    ``sample_rows`` rows are estimated from a contiguous row slice —
+    after RCM the band structure is near-homogeneous, and a uniform
+    subsample scales every candidate's cost equally.
+
+    Returns ``{"window", "window_src", "chunk", "seg_per_mid", "cost"}``
+    (kwargs for ``pair_chunks_banded``; ``cost`` is the winning model
+    score, arbitrary units). Hand-tuned defaults measured within 5% of
+    the model's pick on all sweep graphs (tests/test_autotune.py).
+    """
+    perm = _resolve_perm(mat, reorder, perm)
+    csr = mat.tocsr()
+    if csr is mat and not csr.has_canonical_format:
+        csr = csr.copy()
+    csr.sum_duplicates()
+    n_rows, n_cols = csr.shape
+    if perm is not None:
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(len(perm))
+        coo = csr.tocoo()
+        dst = iperm[coo.row.astype(np.int64)]
+        src = iperm[coo.col.astype(np.int64)]
+        order = np.lexsort((src, dst))
+        dst, src = dst[order], src[order]
+    else:
+        dst = np.repeat(np.arange(n_rows, dtype=np.int64),
+                        np.diff(csr.indptr))
+        src = csr.indices.astype(np.int64)
+    if n_rows > sample_rows:
+        lo = (n_rows - sample_rows) // 2
+        keep = slice(int(np.searchsorted(dst, lo)),
+                     int(np.searchsorted(dst, lo + sample_rows)))
+        dst, src = dst[keep], src[keep]
+
+    best = None
+    for window, window_src, chunk in candidates:
+        n_rows_pad = max(round_up_to_multiple(n_rows, 128), window)
+        n_cols_pad = max(round_up_to_multiple(n_cols, 128), window_src)
+        if n_rows == n_cols:
+            n_rows_pad = n_cols_pad = max(n_rows_pad, n_cols_pad)
+        nseg_b = banded_segment_counts(dst, src, n_rows_pad, n_cols_pad,
+                                       window, window_src, chunk)
+        for spm in spm_candidates:
+            n_mid = int(np.ceil(nseg_b / spm).sum())
+            n_mid_pad = round_up_to_multiple(max(n_mid, 1), mids_per_step)
+            n_seg_pad = n_mid_pad * spm
+            cost = estimate_step_cost(n_seg_pad, n_mid_pad, chunk,
+                                      window, spm)
+            if best is None or cost < best["cost"]:
+                best = {"window": window, "window_src": window_src,
+                        "chunk": chunk, "seg_per_mid": spm, "cost": cost}
+    return best
+
+
+def pair_chunks_auto(mat: sp.spmatrix, reorder: Optional[str] = None,
+                     perm: Optional[np.ndarray] = None,
+                     **kwargs) -> PairChunks:
+    """Banded packing with the geometry autotuned per graph.
+
+    Drop-in for ``pair_chunks_banded``; explicit geometry kwargs
+    (window/window_src/chunk/seg_per_mid) override the model's pick.
+    """
+    geo = select_geometry(mat, reorder=reorder, perm=perm,
+                          mids_per_step=kwargs.get("mids_per_step", 16))
+    geo.pop("cost")
+    for k in tuple(geo):
+        if k in kwargs:
+            geo[k] = kwargs.pop(k)
+    return pair_chunks_banded(mat, reorder=reorder, perm=perm,
+                              **geo, **kwargs)
+
+
 def to_device(pc: PairChunks) -> PairChunks:
     """Upload all array leaves once, at the END of packing.
 
@@ -571,13 +718,16 @@ def _attach_edge_ids(pc: PairChunks,
 
 
 def packer_for(layout: str):
-    """The packing function for a layout name ("banded" | "aligned")."""
+    """The packing function for a layout name
+    ("banded" | "aligned" | "auto")."""
     if layout == "banded":
         return pair_chunks_banded
     if layout == "aligned":
         return pair_chunks_from_scipy
+    if layout == "auto":
+        return pair_chunks_auto
     raise ValueError(f"unknown pair-chunk layout {layout!r} "
-                     "(expected 'banded' or 'aligned')")
+                     "(expected 'banded', 'aligned' or 'auto')")
 
 
 def transpose_ids(forward_edge_ids: Optional[str]) -> Optional[str]:

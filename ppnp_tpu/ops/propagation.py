@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ppnp_tpu.ops.dropout import dropout, edge_dropout, edge_dropout_by_id
-from ppnp_tpu.ops.sparse import EdgeList, EllBlocks
+from ppnp_tpu.ops.sparse import EdgeList
 
 __all__ = ["spmm_edge_list", "spmm", "PPRPowerIteration"]
 

@@ -182,6 +182,7 @@ def train_model(
     checkpoint_every: int = 500,
     resume: bool = False,
     epoch_chunk: int = 10,
+    profile_dir: Optional[str] = None,
 ) -> Tuple[Any, Dict[str, Any]]:
     """Train PPNP/APPNP on a graph; returns (params, result_dict).
 
@@ -189,6 +190,13 @@ def train_model(
     PPRExact / ShardedPowerIteration) — prebuilt by the caller exactly as
     the reference passes a constructed propagation module in model_args
     (SURVEY.md §3.1).
+
+    ``profile_dir``: if set, the steady-state epoch chunks (everything
+    after the first, compile-bearing chunk; or all of a single-chunk run)
+    are traced with ``jax.profiler`` into that directory, including a
+    perfetto-compatible dump (SURVEY.md §5 "Tracing" row). The result
+    dict additionally reports ``spmm_gbps`` — effective propagation
+    bandwidth derived from the steady-state chunk timer.
     """
     t_start = time.time()
     idx_split_args = dict(idx_split_args or default_idx_split_args)
@@ -310,7 +318,22 @@ def train_model(
     # host preprocessing) that are large and NOISY on remote-tunneled
     # platforms, so benchmarks read these instead (bench_training).
     chunk_times: list = []
+    # Steady-state chunk timer (ticks only on full chunks, starting at
+    # the end of the first one so compile never enters the EMA); feeds
+    # result["spmm_gbps"] below.
+    from ppnp_tpu.profiling import StepTimer
+    chunk_timer = StepTimer()
+    profiling_active = False
     while chunk_start < max_epochs and not stop:
+        if (profile_dir is not None and not profiling_active
+                and (chunk_times or max_epochs - start_epoch
+                     <= epoch_chunk)):
+            # Trace the steady-state chunks: start after the first
+            # (compile-bearing) chunk, or at the first if it is the only
+            # one. Perfetto dump lands at stop (SURVEY.md §5).
+            jax.profiler.start_trace(profile_dir,
+                                     create_perfetto_trace=True)
+            profiling_active = True
         t_chunk = time.perf_counter()
         count = min(epoch_chunk, max_epochs - chunk_start)
         pre = (params, opt_state, best)
@@ -319,9 +342,14 @@ def train_model(
             params, opt_state, best, keys, epochs, chunk_start + count)
         losses, accs, stop_losses = (np.asarray(m)[:count] for m in ms)
         chunk_times.append((count, time.perf_counter() - t_chunk))
+        if count == epoch_chunk:
+            chunk_timer.tick()
         # NaN guard (the purity/checkify analog of the reference's absent
         # sanitizers — SURVEY.md §5): fail fast with the offending epoch.
         if not np.isfinite(losses).all():
+            if profiling_active:
+                jax.profiler.stop_trace()
+                profiling_active = False
             bad = int(np.where(~np.isfinite(losses))[0][0])
             raise FloatingPointError(
                 f"non-finite training loss at epoch {chunk_start + bad} "
@@ -363,6 +391,10 @@ def train_model(
             _save(last_epoch, params, opt_state, best)
         chunk_start += count
 
+    if profiling_active:
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", profile_dir)
+
     runtime = time.time() - t_start
     best_params, _, _, best_epoch_dev = best
     best_epoch = int(_host_scalars(best_epoch_dev)[0])
@@ -391,6 +423,16 @@ def train_model(
         best_epoch=best_epoch,
         predictions=preds,
     )
+    # Effective propagation bandwidth (BASELINE.json:2's metric) from the
+    # steady-state chunk EMA: one epoch moves ~3·K SpMMs of traffic
+    # (forward K, transpose-backward K, stopping-eval K), each touching
+    # the edge stream (nnz·8B) plus H in/out (2·n·c·4B).
+    edges = getattr(propagator, "edges", None)
+    niter = getattr(propagator, "niter", None)
+    if chunk_timer.ema_step_s and edges is not None and niter:
+        bytes_per_step = edges.nnz * 8 + 2 * x.shape[0] * n_classes * 4
+        result["spmm_gbps"] = chunk_timer.gbps(
+            epoch_chunk * 3 * niter * bytes_per_step)
     if metrics is not None:
         metrics.write(event="final", **{
             k: v for k, v in result.items() if k != "predictions"})

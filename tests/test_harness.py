@@ -139,6 +139,40 @@ def test_trace_smoke(tmp_path):
     assert any((tmp_path / "prof").rglob("*"))
 
 
+def test_train_profile_trace_and_gbps(tmp_path, small_graph):
+    """train_model(profile_dir=...) writes a jax.profiler trace of the
+    steady-state chunks and derives spmm_gbps from the chunk timer
+    (SURVEY.md §5 tracing row; VERDICT r1 item 5)."""
+    from ppnp_tpu.builders import build_propagator
+    from ppnp_tpu.config import RunConfig
+    from ppnp_tpu.train import train_model
+
+    prop = build_propagator(RunConfig(propagation="power", niter=2),
+                            small_graph)
+    prof = tmp_path / "prof"
+    _, res = train_model(
+        small_graph, prop,
+        idx_split_args={"ntrain_per_class": 10, "nstopping": 40,
+                        "nknown": 150, "seed": 1},
+        stopping_args={"max_epochs": 12, "patience": 100},
+        print_interval=0, epoch_chunk=4, profile_dir=str(prof))
+    assert any(prof.rglob("*")), "no trace files landed"
+    assert res.get("spmm_gbps", 0) > 0
+
+
+def test_cli_train_profile_flag(tmp_path, capsys):
+    """`train --profile DIR` produces a trace via the CLI."""
+    from ppnp_tpu.__main__ import main
+
+    prof = tmp_path / "cliprof"
+    rc = main(["train", "--dataset", "cora_ml", "--max-epochs", "4",
+               "--patience", "4", "--niter", "2", "--print-interval", "0",
+               "--profile", str(prof)])
+    assert rc == 0
+    capsys.readouterr()
+    assert any(prof.rglob("*")), "no trace files landed via CLI"
+
+
 def test_tensorboard_tee_writer(tmp_path):
     """TeeWriter fans epoch rows to JSONL + TensorBoard (SURVEY.md §5)."""
     import json as _json
@@ -214,84 +248,115 @@ def test_checkpoint_sharded_table_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(replaced), np.asarray(table))
 
 
-def test_bench_orchestrator_parses_and_retries(monkeypatch, capsys):
-    """bench.py's degraded-window orchestrator: keeps the best child
-    line, retries below the healthy watermark, stops at/above it, and
-    emits exactly ONE JSON line (the driver contract)."""
-    import subprocess as sp
+def _bench_line(value, tier=0, basis="measured", vs=8.0):
+    return ('{"metric": "appnp_propagation_steps_per_s", "value": %s, '
+            '"unit": "steps/s", "vs_baseline": %s, '
+            '"vs_baseline_basis": "%s", "tier": %d}\n'
+            % (value, vs, basis, tier))
+
+
+def _patch_bench(monkeypatch, bench, script):
+    """Drive bench.main() with a scripted child: each entry is a stdout
+    string, an Exception to raise, or a callable(tier) -> stdout."""
     import types
 
-    import bench
-
-    monkeypatch.setattr(bench, "RETRY_SLEEP_S", 0.0)
-
-    # Child stdout may carry warnings before the JSON line.
-    noisy = ('WARNING: axon is experimental\n'
-             '{"metric": "appnp_propagation_steps_per_s", "value": %s, '
-             '"unit": "steps/s", "vs_baseline": %s}\n')
-    assert bench._parse_line(noisy % (1.0, 1.0))["value"] == 1.0
-    assert bench._parse_line("no json here") is None
-
-    # Attempt 1 hangs (TimeoutExpired), attempt 2 is degraded (below the
-    # watermark), attempt 3 is healthy — orchestrator must report the
-    # healthy value and the attempt count.
-    healthy = bench.HEALTHY_STEPS_PER_S
-    script = [sp.TimeoutExpired(cmd="x", timeout=1),
-              noisy % (healthy * 0.1, 8.0),
-              noisy % (healthy * 1.1, 8.5)]
+    monkeypatch.setattr(bench, "SLEEPS_S", [0] * len(bench.SLEEPS_S))
+    monkeypatch.setattr(bench, "TOTAL_BUDGET_S", 10_000.0)
 
     def fake_run(cmd, capture_output, text, timeout):
         step = script.pop(0)
+        tier = int(cmd[cmd.index("--tier") + 1])
         if isinstance(step, Exception):
             raise step
+        if callable(step):
+            step = step(tier)
         return types.SimpleNamespace(stdout=step, returncode=0)
 
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
-    assert bench.main() == 0
-    out_lines = [l for l in capsys.readouterr().out.splitlines() if l]
-    assert len(out_lines) == 1
-    line = json.loads(out_lines[0])
-    assert line["value"] == pytest.approx(healthy * 1.1)
-    assert line["attempts"] == 3
-
-    # All attempts hang: error line, nonzero exit.
-    script[:] = [sp.TimeoutExpired(cmd="x", timeout=1)] * bench.MAX_ATTEMPTS
-    assert bench.main() == 1
-    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert line["value"] == 0.0 and "error" in line
-
-    # All attempts degraded: best degraded line is still reported.
-    script[:] = [noisy % (healthy * 0.2, 7.0),
-                 noisy % (healthy * 0.3, 7.5),
-                 noisy % (healthy * 0.25, 7.2)]
-    assert bench.main() == 0
-    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert line["value"] == pytest.approx(healthy * 0.3)
-    assert line["attempts"] == bench.MAX_ATTEMPTS
 
 
-def test_bench_orchestrator_rejects_child_error_lines(monkeypatch, capsys):
-    """A child that RAN but reported a backend-error line must not be
-    recorded as a successful 0.0 measurement — the orchestrator exits 1
-    (a kernel regression is not a degraded-window artifact)."""
-    import types
+def test_bench_orchestrator_tiers_and_retries(monkeypatch, capsys):
+    """bench.py's tiered orchestrator: keeps the best child line across
+    hangs/degraded attempts, stops at a healthy tier-0 measurement, and
+    the LAST JSON line on stdout is the best result (driver contract)."""
+    import subprocess as sp
 
     import bench
 
-    monkeypatch.setattr(bench, "RETRY_SLEEP_S", 0.0)
-    err_line = ('{"metric": "appnp_propagation_steps_per_s", "value": 0.0,'
-                ' "unit": "steps/s", "vs_baseline": 0.0,'
-                ' "error": {"xla": {"error": "boom"}}}\n')
-    assert bench._parse_line(err_line) is None
-    script = [err_line] * bench.MAX_ATTEMPTS
+    noisy = "WARNING: axon is experimental\n" + _bench_line(1.0)
+    assert bench._parse_lines(noisy)[0]["value"] == 1.0
+    assert bench._parse_lines("no json here") == []
+    # Error/zero lines are rejected (a regression is not a measurement).
+    assert bench._parse_lines(
+        '{"metric": "x", "value": 0.0, "error": "boom"}\n') == []
 
-    def fake_run(cmd, capture_output, text, timeout):
-        return types.SimpleNamespace(stdout=script.pop(0), returncode=1)
+    healthy = bench.TIERS[0]["healthy"]
+    # Attempt 1 hangs with PARTIAL stdout (provisional pallas-only line):
+    # the orchestrator must parse TimeoutExpired.stdout. Attempt 2 is
+    # healthy and complete — stop there.
+    partial = sp.TimeoutExpired(cmd="x", timeout=1)
+    partial.output = _bench_line(healthy * 0.2, basis="recorded_healthy_xla"
+                                 ).encode()
+    script = [partial, _bench_line(healthy * 1.05)]
+    _patch_bench(monkeypatch, bench, script)
+    assert bench.main() == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == pytest.approx(healthy * 1.05)
+    assert line["attempts"] == 2
+    assert line["degraded"] is False
 
-    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    # All attempts hang with no output: error line, nonzero exit.
+    script[:] = [sp.TimeoutExpired(cmd="x", timeout=1)
+                 for _ in bench.ATTEMPT_PLAN]
+    _patch_bench(monkeypatch, bench, script)
     assert bench.main() == 1
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["value"] == 0.0 and "error" in line
+
+    # All attempts degraded: the best tier-0 line is still reported with
+    # degraded=true — NEVER 0.0 when a child produced a number — and a
+    # (faster in absolute steps/s) fallback-tier line must not displace
+    # the tier-0 result.
+    def degraded_child(tier):
+        return _bench_line(healthy * (0.3 if tier == 0 else 2.0), tier=tier)
+
+    script[:] = [degraded_child for _ in bench.ATTEMPT_PLAN]
+    _patch_bench(monkeypatch, bench, script)
+    assert bench.main() == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["tier"] == 0
+    assert line["value"] == pytest.approx(healthy * 0.3)
+    assert line["degraded"] is True
+
+
+def test_bench_orchestrator_fallback_tier(monkeypatch, capsys):
+    """When tier 0 never yields a number, a fallback tier's line is
+    reported (flagged with fallback_tier) instead of 0.0."""
+    import subprocess as sp
+
+    import bench
+
+    t2_healthy = bench.TIERS[2]["healthy"]
+
+    def child(tier):
+        if tier == 2:
+            return _bench_line(t2_healthy * 0.9, tier=2)
+        raise sp.TimeoutExpired(cmd="x", timeout=1)
+
+    script = [child for _ in bench.ATTEMPT_PLAN]
+    _patch_bench(monkeypatch, bench, script)
+    assert bench.main() == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["fallback_tier"] == 2
+    assert line["value"] == pytest.approx(t2_healthy * 0.9)
+
+    # _better prefers: lower tier > measured basis > higher value.
+    a = {"tier": 0, "value": 1.0, "vs_baseline_basis": "measured"}
+    b = {"tier": 2, "value": 100.0, "vs_baseline_basis": "measured"}
+    c = {"tier": 0, "value": 2.0,
+         "vs_baseline_basis": "recorded_healthy_xla"}
+    assert bench._better(a, b) and not bench._better(b, a)
+    assert bench._better(a, c) and not bench._better(c, a)
 
 
 def test_bench_blocked_structure():

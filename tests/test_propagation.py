@@ -12,7 +12,7 @@ import scipy.sparse as sp
 from ppnp_tpu.ops.exact import PPRExact, calc_ppr_exact
 from ppnp_tpu.ops.normalize import calc_A_hat
 from ppnp_tpu.ops.propagation import PPRPowerIteration, spmm_edge_list
-from ppnp_tpu.ops.sparse import edge_list_from_scipy, ell_from_scipy
+from ppnp_tpu.ops.sparse import edge_list_from_scipy
 
 
 def _random_adj(n, seed=0, density=0.05):
@@ -152,19 +152,6 @@ def test_edge_dropout_statistics():
     zs = jax.vmap(lambda k: power(h0, train=True, key=k))(keys)
     mc = np.asarray(jnp.mean(zs, axis=0))
     np.testing.assert_allclose(mc, np.asarray(z3), rtol=0.25, atol=0.05)
-
-
-def test_ell_packing_roundtrip(random_csr):
-    mat = random_csr(70, 70, density=0.08, seed=15)
-    ell = ell_from_scipy(mat, block_rows=16, slot_multiple=4)
-    # Reconstruct the dense matrix from ELL and compare.
-    cols = np.asarray(ell.cols).reshape(-1, ell.max_slots)
-    vals = np.asarray(ell.vals).reshape(-1, ell.max_slots)
-    dense = np.zeros((ell.n_rows, ell.n_cols), dtype=np.float32)
-    for r in range(ell.n_rows):
-        for s in range(ell.max_slots):
-            dense[r, cols[r, s]] += vals[r, s]
-    np.testing.assert_allclose(dense[:70], mat.toarray(), rtol=1e-5)
 
 
 def test_dense_dropout_statistics_and_quantization():
