@@ -81,7 +81,7 @@ def measure_once(tier_idx: int) -> int:
     def emit(res):
         backends = {k: v for k, v in res["backends"].items()
                     if "error" not in v}
-        if "pallas" not in backends and not backends:
+        if not backends:
             return False
         best_name = max(backends, key=lambda k: backends[k]["steps_per_s"])
         best = backends[best_name]

@@ -110,6 +110,23 @@ def cmd_reproduce(args) -> int:
 
     cfg = _cfg_from_args(args)
     cfg.test = True
+    if args.all:
+        from ppnp_tpu.reproduce import run_full_table
+        rows = run_full_table(base_cfg=cfg, nseeds=args.nseeds,
+                              out_prefix=args.out)
+        for r in rows:
+            line = (f"{r['dataset']:12s} {r['propagation']:5s} "
+                    f"{r['mean_accuracy_pct']:.2f} ± {r['ci95_pct']:.2f} %")
+            if "paper_pct" in r:
+                line += f"  (paper {r['paper_pct']:.2f})"
+            if "delta_pct" in r:
+                line += (f"  Δ={r['delta_pct']:+.2f} "
+                         f"{'OK' if r['within_seed_variance'] else 'DIVERGED'}")
+            if not r["real_data"]:
+                line += "  [surrogate — no parity diff]"
+            print(line)
+        print(json.dumps(rows, indent=2, default=float))
+        return 0
     seeds = DEFAULT_SEEDS[:args.nseeds]
     rows = []
     for dataset in args.datasets:
@@ -156,6 +173,10 @@ def _cmd_bench_inner(args) -> int:
         res = bench_scaling(dataset=args.dataset, c=args.c,
                             niter=args.niter, iters=args.iters,
                             backend=args.backends[0])
+    elif args.c_sweep:
+        from ppnp_tpu.benchmarks import bench_c_sweep
+        res = bench_c_sweep(dataset=args.dataset, niter=args.niter,
+                            iters=args.iters, backends=args.backends)
     else:
         res = bench_propagation(dataset=args.dataset, c=args.c,
                                 niter=args.niter, iters=args.iters,
@@ -234,6 +255,10 @@ def main(argv=None) -> int:
                    default=["cora_ml", "citeseer", "pubmed"])
     p.add_argument("--nseeds", type=int, default=5)
     p.add_argument("--out", default=None, help="result JSON path prefix")
+    p.add_argument("--all", action="store_true",
+                   help="full paper-style table (exact+power × datasets) "
+                        "with paper-target diffs when real npz data is "
+                        "present")
     p.set_defaults(fn=cmd_reproduce)
 
     p = sub.add_parser("bench", help="propagation throughput benchmark")
@@ -244,6 +269,9 @@ def main(argv=None) -> int:
     p.add_argument("--backends", nargs="+", default=["xla", "pallas"])
     p.add_argument("--scaling", action="store_true",
                    help="strong-scaling sweep over the local mesh")
+    p.add_argument("--c-sweep", action="store_true",
+                   help="propagation throughput across feature widths "
+                        "c in {16, 64, 128, 256}")
     p.add_argument("--training", action="store_true",
                    help="steady-state training epochs/s")
     p.add_argument("--retrieval", action="store_true",

@@ -129,6 +129,44 @@ def bench_propagation(
     return result
 
 
+def bench_c_sweep(
+    dataset: str = "ms_academic",
+    cs: Sequence[int] = (16, 64, 128, 256),
+    niter: int = 100,
+    iters: int = 5,
+    backends: Sequence[str] = ("xla", "pallas"),
+    seed: int = 0,
+) -> Dict:
+    """Propagation throughput across feature widths c.
+
+    Characterizes where the Pallas kernel's advantage starts/ends at the
+    widths the system actually uses: training propagates logits at
+    c = n_classes (3-15), retrieval embeds at d = 64, the headline bench
+    at c = 128 (VERDICT r1 item 8). Each width is a separate
+    bench_propagation run (fresh packing — the packing is c-independent
+    but cheap relative to measurement).
+    """
+    result: Dict = {"dataset": dataset, "niter": niter, "cs": list(cs),
+                    "device": str(jax.devices()[0]), "sweep": {}}
+    for c in cs:
+        res = bench_propagation(dataset=dataset, c=int(c), niter=niter,
+                                iters=iters, backends=backends, seed=seed)
+        row = {}
+        for b, v in res["backends"].items():
+            row[b] = ({"error": v["error"]} if "error" in v else
+                      {"steps_per_s": v["steps_per_s"],
+                       "us_per_step": 1e6 / v["steps_per_s"]})
+        ok = {b: v for b, v in row.items() if "error" not in v}
+        if "xla" in ok and len(ok) > 1:
+            best = max((b for b in ok if b != "xla"),
+                       key=lambda b: ok[b]["steps_per_s"])
+            row["speedup_vs_xla"] = (ok[best]["steps_per_s"]
+                                     / ok["xla"]["steps_per_s"])
+        result["sweep"][int(c)] = row
+        result["n"], result["nnz"] = res["n"], res["nnz"]
+    return result
+
+
 def bench_blocked(
     n_nodes: int = 500_000,
     n_edges: int = 5_000_000,
@@ -218,6 +256,7 @@ def bench_scaling(
     exchange: str = "alltoall",
     seed: int = 0,
     backend: str = "xla",
+    pack_kwargs: Optional[Dict] = None,
 ) -> Dict:
     """Strong-scaling of sharded propagation over the local device mesh.
 
@@ -231,7 +270,12 @@ def bench_scaling(
                                              build_sharded_pair_chunks)
     from ppnp_tpu.parallel.sharded import ShardedPowerIteration
 
-    cfg = RunConfig(dataset=dataset)
+    # Same ingest as the real sharded path (builders.load_graph with
+    # propagation="sharded"): RCM-relabel BEFORE row-partitioning so
+    # boundaries reflect the production configuration, not the raw
+    # node numbering.
+    cfg = RunConfig(dataset=dataset, propagation="sharded",
+                    shard_reorder="rcm")
     graph = load_graph(cfg)
     a_hat = calc_A_hat(graph.adj_matrix)
     alpha = resolve_alpha(cfg)
@@ -254,7 +298,11 @@ def bench_scaling(
         sg = build_sharded_graph(a_hat, n_shards=ns)
         pc = None
         if backend == "pallas":
-            pc, _, _ = build_sharded_pair_chunks(sg, with_adjoint=False)
+            # pack_kwargs lets CPU-mesh (interpret-mode) runs shrink the
+            # kernel's static unroll (mids_per_step·spm inline dots) —
+            # XLA:CPU compiles of the full TPU geometry take minutes.
+            pc, _, _ = build_sharded_pair_chunks(sg, with_adjoint=False,
+                                                 **(pack_kwargs or {}))
         prop = ShardedPowerIteration(graph=sg, mesh=mesh, pair_chunks=pc,
                                      alpha=alpha, niter=niter,
                                      exchange=exchange, backend=backend)
@@ -269,6 +317,13 @@ def bench_scaling(
         result["shards"][ns] = {
             "steps_per_s": sps,
             "boundary_rows": sg.boundary,
+            # all_to_all per step: every shard sends its (padded)
+            # boundary-row block to each of ns peers — B·c·4 bytes per
+            # (src, dst) shard pair. This scales with the partition CUT
+            # (≈ graph bandwidth after RCM), not with n.
+            "comm_bytes_per_step": ns * ns * sg.boundary * c * 4,
+            "interior_edge_fraction": (sg.interior_pad
+                                       / max(sg.edges_pad, 1)),
             "efficiency": sps / (ns * base_sps),
         }
         logger.info("%d shards: %.0f steps/s (eff %.2f)", ns, sps,

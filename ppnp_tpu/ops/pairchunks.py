@@ -36,6 +36,7 @@ notes in ``ppnp_tpu.kernels.spmm``.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -46,9 +47,9 @@ from flax import struct
 from ppnp_tpu.utils.padding import round_up_to_multiple
 
 __all__ = ["PairChunks", "pair_chunks_from_scipy", "pair_chunks_banded",
-           "pair_chunks_auto", "select_geometry", "packer_for",
-           "transpose_pair", "slot_permutation", "rcm_permutation",
-           "to_device"]
+           "pair_chunks_auto", "select_geometry", "validate_pair_chunks",
+           "packer_for", "transpose_pair", "slot_permutation",
+           "rcm_permutation", "to_device"]
 
 
 @struct.dataclass
@@ -205,7 +206,7 @@ def pair_chunks_from_scipy(
                 seg_per_mid=seg_per_mid, nnz=int(csr.nnz),
                 mids_per_step=mids_per_step, n_cols=n_cols,
                 **perm_arrays)
-            pc = _attach_edge_ids(pc, edge_ids)
+            pc = _maybe_validate(_attach_edge_ids(pc, edge_ids))
             return to_device(pc) if device else pc
         if use_native == "require":
             raise RuntimeError("native packer unavailable "
@@ -336,6 +337,7 @@ def pair_chunks_from_scipy(
         seg_per_mid=seg_per_mid, nnz=nnz,
         mids_per_step=mids_per_step, n_cols=n_cols,
         **perm_arrays), edge_ids)
+    pc = _maybe_validate(pc)
     return to_device(pc) if device else pc
 
 
@@ -425,7 +427,7 @@ def pair_chunks_banded(
             seg_per_mid=seg_per_mid, nnz=nnz,
             mids_per_step=mids_per_step,
             n_cols=n_cols, align=8, **perm_arrays)
-        pc = _attach_edge_ids(pc, edge_ids)
+        pc = _maybe_validate(_attach_edge_ids(pc, edge_ids))
         return to_device(pc) if device else pc
 
     want_native = use_native in ("auto", "require")
@@ -526,6 +528,75 @@ def pair_chunks_banded(
 
     return _assemble((seg_bs, mid_bd, flat_src, flat_dst, flat_w,
                       n_seg_pad, n_mid_pad))
+
+
+def validate_pair_chunks(pc: PairChunks) -> None:
+    """Loud structural validation of a packing (host-side numpy).
+
+    Catches corrupted packings — out-of-range window bases, local
+    offsets outside the window, geometry inconsistencies, non-finite
+    weights — BEFORE they reach the kernel, where an out-of-bounds
+    dynamic slice would silently CLAMP and mis-gather (the checkify/
+    sanitizer analog for the index paths; SURVEY.md §5 "sanitizers").
+    Runs at pack time on the host arrays; raises ValueError.
+    """
+    seg_bs = np.asarray(pc.seg_bs)
+    mid_bd = np.asarray(pc.mid_bd)
+    e_src = np.asarray(pc.e_src)
+    e_dst = np.asarray(pc.e_dst)
+    e_w = np.asarray(pc.e_w)
+    chunk, spm, mid = pc.chunk, pc.seg_per_mid, pc.mid
+    n_seg, n_mid = seg_bs.shape[0], mid_bd.shape[0]
+
+    def fail(msg):
+        raise ValueError(f"corrupted PairChunks packing: {msg}")
+
+    if e_src.shape != (chunk, n_seg) or e_w.shape != (chunk, n_seg):
+        fail(f"slot arrays {e_src.shape}/{e_w.shape} != ({chunk}, {n_seg})")
+    if e_dst.shape != (n_mid, mid):
+        fail(f"e_dst {e_dst.shape} != ({n_mid}, {mid})")
+    if n_seg != n_mid * spm:
+        fail(f"n_seg={n_seg} != n_mid*spm={n_mid * spm}")
+    if n_mid % pc.mids_per_step:
+        fail(f"n_mid={n_mid} not a multiple of "
+             f"mids_per_step={pc.mids_per_step}")
+    align_s = pc.align or pc.window_src
+    align_d = pc.align or pc.window
+    if seg_bs.size and (seg_bs.min() < 0
+                        or seg_bs.max() > pc.n_cols_pad - pc.window_src):
+        fail(f"seg_bs outside [0, {pc.n_cols_pad - pc.window_src}] "
+             f"(src window would clamp)")
+    if seg_bs.size and (seg_bs % align_s).any():
+        fail(f"seg_bs not {align_s}-aligned")
+    if mid_bd.size and (mid_bd.min() < 0
+                        or mid_bd.max() > pc.n_rows_pad - pc.window):
+        fail(f"mid_bd outside [0, {pc.n_rows_pad - pc.window}] "
+             f"(dst window would clamp)")
+    if mid_bd.size and (mid_bd % align_d).any():
+        fail(f"mid_bd not {align_d}-aligned")
+    if e_src.size and (e_src.min() < 0 or e_src.max() >= pc.window_src):
+        fail(f"e_src outside [0, {pc.window_src})")
+    if e_dst.size and (e_dst.min() < 0 or e_dst.max() >= pc.window):
+        fail(f"e_dst outside [0, {pc.window})")
+    if not np.isfinite(e_w).all():
+        fail("non-finite edge weights")
+    nnz_slots = int((e_w != 0).sum())
+    if nnz_slots > pc.nnz:
+        fail(f"{nnz_slots} non-zero slots > declared nnz={pc.nnz}")
+
+
+def _maybe_validate(pc: PairChunks) -> PairChunks:
+    """Pack-time validation hook: always on up to 2M slots; beyond that
+    (ingest-scale graphs, where the O(slots) compares would tax the
+    measured packing throughput) only when PPNP_TPU_VALIDATE=1.
+    PPNP_TPU_VALIDATE=0 disables entirely."""
+    mode = os.environ.get("PPNP_TPU_VALIDATE", "auto")
+    if mode in ("0", "never"):
+        return pc
+    if mode == "auto" and pc.n_seg * pc.chunk > 2_000_000:
+        return pc
+    validate_pair_chunks(pc)
+    return pc
 
 
 # ------------------------- geometry autotuning ------------------------- #
@@ -773,14 +844,27 @@ def pad_stack_pair_chunks(pclist) -> PairChunks:
     Static fields must be identical to stack; ``nnz`` is metadata only
     (roofline accounting) and is replaced by the per-member max.
     """
+    import chex
     import jax
     import jax.numpy as jnp
+    statics = ("window", "window_src", "chunk", "seg_per_mid",
+               "mids_per_step", "align", "n_rows_pad", "n_cols_pad")
+    ref = {f: getattr(pclist[0], f) for f in statics}
+    for i, p in enumerate(pclist[1:], 1):
+        bad = {f: (ref[f], getattr(p, f)) for f in statics
+               if getattr(p, f) != ref[f]}
+        if bad:
+            raise ValueError(
+                f"cannot stack pair chunks: member {i} diverges from "
+                f"member 0 on static geometry {bad}")
     mps = pclist[0].mids_per_step
     n_mid = round_up_to_multiple(max(p.n_mid for p in pclist), mps)
     n_seg = n_mid * pclist[0].seg_per_mid
     nnz = max(p.nnz for p in pclist)
     padded = [pad_pair_chunks(p, n_seg, n_mid).replace(nnz=nnz)
               for p in pclist]
+    if len(padded) > 1:
+        chex.assert_trees_all_equal_shapes(*padded)
     return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
 
 

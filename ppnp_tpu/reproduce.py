@@ -23,7 +23,27 @@ from ppnp_tpu.train import train_model
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["run_seed_sweep", "bootstrap_ci"]
+__all__ = ["run_seed_sweep", "run_full_table", "bootstrap_ci",
+           "PAPER_TARGETS"]
+
+# Paper-published accuracy (mean %, ±95% CI) per (dataset, propagation)
+# — PPNP paper main results table (arXiv:1810.05997; BASELINE.md
+# "Accuracy"). Targets are only comparable when the REAL npz datasets
+# are on the search path; surrogate runs report them for reference but
+# skip the diff.
+PAPER_TARGETS = {
+    ("cora_ml", "exact"): (85.29, 0.25),
+    ("citeseer", "exact"): (75.83, 0.27),
+    ("pubmed", "exact"): (79.73, 0.31),
+    ("cora_ml", "power"): (85.09, 0.25),
+    ("citeseer", "power"): (75.73, 0.30),
+    ("pubmed", "power"): (79.73, 0.31),
+    ("ms_academic", "power"): (93.27, 0.08),
+}
+
+# Dense Π = α(I−(1−α)Â)⁻¹ is run where the paper ran it; the larger
+# graphs use APPNP only (SURVEY.md §3.6, BASELINE.md measured table).
+EXACT_FEASIBLE = ("cora_ml", "citeseer")
 
 # A fixed seed list, in the spirit of the reference's fixed seed arrays.
 DEFAULT_SEEDS = [
@@ -86,3 +106,58 @@ def run_seed_sweep(cfg: RunConfig,
         with open(out_path, "w") as f:
             json.dump(result, f, indent=2)
     return result
+
+
+def run_full_table(base_cfg: Optional[RunConfig] = None,
+                   datasets: Optional[Sequence[str]] = None,
+                   nseeds: int = 10,
+                   out_prefix: Optional[str] = None) -> List[Dict]:
+    """The full paper-style table: exact + power × datasets.
+
+    Reference analog: ``reproduce_results_pytorch.ipynb`` run end to end
+    (SURVEY.md §3.6). Each row reports mean±CI accuracy; when the REAL
+    npz for a dataset is on the search path ($PPNP_TPU_DATA or
+    <repo>/data/), the row also diffs against the paper's published
+    number (PAPER_TARGETS) and flags whether the gap is within the
+    combined seed variance — the BASELINE.json:5 parity criterion.
+    Surrogate rows mark ``real_data: false`` and skip the diff (their
+    absolute accuracy is surrogate-specific; BASELINE.md caveat).
+    """
+    from ppnp_tpu.data.io import load_npz_dataset
+
+    base_cfg = base_cfg or RunConfig()
+    datasets = list(datasets
+                    or ["cora_ml", "citeseer", "pubmed", "ms_academic"])
+    rows: List[Dict] = []
+    for dataset in datasets:
+        props = ["power"] + (["exact"] if dataset in EXACT_FEASIBLE
+                             else [])
+        for propagation in props:
+            cfg = dataclasses.replace(base_cfg, dataset=dataset,
+                                      propagation=propagation, test=True,
+                                      alpha=base_cfg.alpha)
+            out = (f"{out_prefix}_{dataset}_{propagation}.json"
+                   if out_prefix else None)
+            res = run_seed_sweep(cfg, seeds=DEFAULT_SEEDS[:nseeds],
+                                 out_path=out)
+            real = load_npz_dataset(dataset) is not None
+            row = {
+                "dataset": dataset,
+                "propagation": propagation,
+                "mean_accuracy_pct": 100 * res["mean_accuracy"],
+                "ci95_pct": 100 * res["ci95_accuracy"],
+                "nseeds": nseeds,
+                "real_data": real,
+            }
+            target = PAPER_TARGETS.get((dataset, propagation))
+            if target is not None:
+                row["paper_pct"] = target[0]
+                row["paper_ci_pct"] = target[1]
+                if real:
+                    delta = row["mean_accuracy_pct"] - target[0]
+                    row["delta_pct"] = delta
+                    row["within_seed_variance"] = (
+                        abs(delta) <= row["ci95_pct"] + target[1])
+            rows.append(row)
+            logger.info("table row: %s", row)
+    return rows
