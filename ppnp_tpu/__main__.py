@@ -180,7 +180,8 @@ def _cmd_bench_inner(args) -> int:
     else:
         res = bench_propagation(dataset=args.dataset, c=args.c,
                                 niter=args.niter, iters=args.iters,
-                                backends=args.backends)
+                                backends=args.backends,
+                                layout=args.layout)
     print(json.dumps(res, indent=2, default=float))
     return 0
 
@@ -267,6 +268,10 @@ def main(argv=None) -> int:
     p.add_argument("--niter", type=int, default=10)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--backends", nargs="+", default=["xla", "pallas"])
+    p.add_argument("--layout", default="banded",
+                   choices=["banded", "aligned", "auto"],
+                   help="pallas packing layout for the propagation "
+                        "bench (auto = per-graph geometry model)")
     p.add_argument("--scaling", action="store_true",
                    help="strong-scaling sweep over the local mesh")
     p.add_argument("--c-sweep", action="store_true",

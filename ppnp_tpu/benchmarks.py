@@ -62,6 +62,7 @@ def bench_propagation(
     iters: int = 10,
     backends: Sequence[str] = ("xla", "pallas"),
     seed: int = 0,
+    layout: str = "banded",
 ) -> Dict:
     """Time K-step APPNP propagation per backend on a dataset's graph.
 
@@ -97,9 +98,11 @@ def bench_propagation(
         "device": str(jax.devices()[0]),
         "backends": {},
     }
+    result["layout"] = layout
     for backend in backends:
         if backend == "pallas":
-            pc = pair_chunks_banded(a_hat, reorder="rcm")
+            from ppnp_tpu.ops.pairchunks import packer_for
+            pc = packer_for(layout)(a_hat, reorder="rcm")
         elif backend == "blocked":
             # HBM-streaming row blocks (kernels/blocked.py) — the
             # single-chip path for graphs whose H outgrows VMEM.
