@@ -275,8 +275,11 @@ def test_vmem_guard_rejects_oversized_graph():
     pc_big = pc_small.replace(n_rows=2_000_000, n_rows_pad=2_000_000,
                               n_cols_pad=2_000_000)
     h = jnp.zeros((2_000_000, 8), jnp.float32)
+    # interpret=False: the guard protects COMPILED mode; on the CPU test
+    # platform the default auto-resolves to interpret (no VMEM to guard).
     with pytest.raises(Exception) as ei:
-        jax.eval_shape(lambda hh: spmm_pair_chunks(pc_big, hh), h)
+        jax.eval_shape(lambda hh: spmm_pair_chunks(pc_big, hh,
+                                                   interpret=False), h)
     assert "row-shard" in str(ei.value)
 
 
