@@ -97,8 +97,9 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
             # HBM-streaming row blocks for graphs whose H outgrows VMEM
             # on one chip (ppnp_tpu.kernels.blocked).
             from ppnp_tpu.kernels.blocked import build_blocked_pair_chunks
+            _, geo = _resolve_layout(cfg, a_hat)
             pc = build_blocked_pair_chunks(
-                a_hat, rows_per_block=cfg.rows_per_block)
+                a_hat, rows_per_block=cfg.rows_per_block, **geo)
             logger.info("blocked: %d blocks of %d rows, H window %d",
                         pc.n_blocks, pc.rows_per_block, pc.hw)
         return PPRPowerIteration(
