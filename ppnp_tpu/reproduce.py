@@ -41,9 +41,18 @@ PAPER_TARGETS = {
     ("ms_academic", "power"): (93.27, 0.08),
 }
 
-# Dense Π = α(I−(1−α)Â)⁻¹ is run where the paper ran it; the larger
-# graphs use APPNP only (SURVEY.md §3.6, BASELINE.md measured table).
+# Dense Π = α(I−(1−α)Â)⁻¹ is run where the paper ran it: the small
+# graphs everywhere, PubMed (n=19.7k → a 1.5GB dense Π) only on an
+# accelerator — the single-core CPU test environment would spend
+# O(n³)≈7.7 TFLOP in the solve (SURVEY.md §3.6, BASELINE.md).
 EXACT_FEASIBLE = ("cora_ml", "citeseer")
+EXACT_FEASIBLE_ACCEL = EXACT_FEASIBLE + ("pubmed",)
+
+
+def _exact_feasible() -> tuple:
+    import jax
+    return (EXACT_FEASIBLE if jax.default_backend() == "cpu"
+            else EXACT_FEASIBLE_ACCEL)
 
 # A fixed seed list, in the spirit of the reference's fixed seed arrays.
 DEFAULT_SEEDS = [
@@ -129,9 +138,9 @@ def run_full_table(base_cfg: Optional[RunConfig] = None,
     datasets = list(datasets
                     or ["cora_ml", "citeseer", "pubmed", "ms_academic"])
     rows: List[Dict] = []
+    exact_ok = _exact_feasible()
     for dataset in datasets:
-        props = ["power"] + (["exact"] if dataset in EXACT_FEASIBLE
-                             else [])
+        props = ["power"] + (["exact"] if dataset in exact_ok else [])
         for propagation in props:
             cfg = dataclasses.replace(base_cfg, dataset=dataset,
                                       propagation=propagation, test=True,
