@@ -168,12 +168,18 @@ def _parse_lines(stdout: str):
 
 
 def _better(a, b):
-    """True if line ``a`` beats line ``b`` (lower tier > measured basis >
-    higher value)."""
+    """True if line ``a`` beats line ``b``.
+
+    Lower tier first (most representative config), then HIGHER measured
+    value — the steps/s value is a real measurement in both provisional
+    and complete lines, so a healthy provisional must not be displaced
+    by a later degraded-but-complete one; the basis only decides
+    vs_baseline and is used as the final tiebreak.
+    """
     if b is None:
         return True
-    ka = (a["tier"], a.get("vs_baseline_basis") != "measured", -a["value"])
-    kb = (b["tier"], b.get("vs_baseline_basis") != "measured", -b["value"])
+    ka = (a["tier"], -a["value"], a.get("vs_baseline_basis") != "measured")
+    kb = (b["tier"], -b["value"], b.get("vs_baseline_basis") != "measured")
     return ka < kb
 
 

@@ -112,8 +112,8 @@ def cmd_reproduce(args) -> int:
     cfg.test = True
     if args.all:
         from ppnp_tpu.reproduce import run_full_table
-        rows = run_full_table(base_cfg=cfg, nseeds=args.nseeds,
-                              out_prefix=args.out)
+        rows = run_full_table(base_cfg=cfg, datasets=args.datasets,
+                              nseeds=args.nseeds, out_prefix=args.out)
         for r in rows:
             line = (f"{r['dataset']:12s} {r['propagation']:5s} "
                     f"{r['mean_accuracy_pct']:.2f} ± {r['ci95_pct']:.2f} %")
@@ -129,7 +129,7 @@ def cmd_reproduce(args) -> int:
         return 0
     seeds = DEFAULT_SEEDS[:args.nseeds]
     rows = []
-    for dataset in args.datasets:
+    for dataset in args.datasets or ["cora_ml", "citeseer", "pubmed"]:
         cfg.dataset = dataset
         res = run_seed_sweep(cfg, seeds=seeds, out_path=args.out and
                              f"{args.out}_{dataset}.json")
@@ -170,13 +170,24 @@ def _cmd_bench_inner(args) -> int:
         res = bench_blocked(n_nodes=args.blocked_nodes, c=args.c,
                             niter=args.niter, iters=args.iters)
     elif args.scaling:
-        res = bench_scaling(dataset=args.dataset, c=args.c,
-                            niter=args.niter, iters=args.iters,
-                            backend=args.backends[0])
+        if args.layout == "auto":
+            # Per-shard auto-tuning would pick divergent static
+            # geometries that cannot stack; the sharded builders resolve
+            # auto globally (builders._resolve_layout) — here just warn.
+            logging.getLogger(__name__).warning(
+                "--layout auto is not supported by --scaling; "
+                "using banded")
+        res = bench_scaling(
+            dataset=args.dataset, c=args.c,
+            niter=args.niter, iters=args.iters,
+            backend=args.backends[0],
+            pack_kwargs=(None if args.layout in ("banded", "auto")
+                         else {"layout": args.layout}))
     elif args.c_sweep:
         from ppnp_tpu.benchmarks import bench_c_sweep
         res = bench_c_sweep(dataset=args.dataset, niter=args.niter,
-                            iters=args.iters, backends=args.backends)
+                            iters=args.iters, backends=args.backends,
+                            layout=args.layout)
     else:
         res = bench_propagation(dataset=args.dataset, c=args.c,
                                 niter=args.niter, iters=args.iters,
@@ -252,8 +263,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("reproduce",
                        help="seed-sweep accuracy table (paper protocol)")
     _add_common(p)
-    p.add_argument("--datasets", nargs="+",
-                   default=["cora_ml", "citeseer", "pubmed"])
+    p.add_argument("--datasets", nargs="+", default=None,
+                   help="default: cora_ml citeseer pubmed; with --all: "
+                        "all four reference datasets")
     p.add_argument("--nseeds", type=int, default=5)
     p.add_argument("--out", default=None, help="result JSON path prefix")
     p.add_argument("--all", action="store_true",

@@ -100,20 +100,25 @@ def bench_propagation(
     }
     result["layout"] = layout
     for backend in backends:
-        if backend == "pallas":
-            from ppnp_tpu.ops.pairchunks import packer_for
-            pc = packer_for(layout)(a_hat, reorder="rcm")
-        elif backend == "blocked":
-            # HBM-streaming row blocks (kernels/blocked.py) — the
-            # single-chip path for graphs whose H outgrows VMEM.
-            from ppnp_tpu.kernels.blocked import build_blocked_pair_chunks
-            pc = build_blocked_pair_chunks(a_hat, with_adjoint=False)
-        else:
-            pc = None
-        prop = PPRPowerIteration(edges=edges, pair_chunks=pc, alpha=alpha,
-                                 niter=niter, backend=backend)
-        f = jax.jit(lambda h, p=prop: p(h, train=False))
+        # Packing failures must land in the per-backend error protocol
+        # too: an escaped pack-time exception kills the bench.py child
+        # with no JSON line and gets misdiagnosed as a hung tunnel.
         try:
+            if backend == "pallas":
+                from ppnp_tpu.ops.pairchunks import packer_for
+                pc = packer_for(layout)(a_hat, reorder="rcm")
+            elif backend == "blocked":
+                # HBM-streaming row blocks (kernels/blocked.py) — the
+                # single-chip path for graphs whose H outgrows VMEM.
+                from ppnp_tpu.kernels.blocked import \
+                    build_blocked_pair_chunks
+                pc = build_blocked_pair_chunks(a_hat, with_adjoint=False)
+            else:
+                pc = None
+            prop = PPRPowerIteration(edges=edges, pair_chunks=pc,
+                                     alpha=alpha, niter=niter,
+                                     backend=backend)
+            f = jax.jit(lambda h, p=prop: p(h, train=False))
             t = _time(f, h0, iters=iters)
         except Exception as e:  # pragma: no cover - backend unavailable
             logger.warning("backend %s failed: %s", backend, str(e)[:200])
@@ -139,6 +144,7 @@ def bench_c_sweep(
     iters: int = 5,
     backends: Sequence[str] = ("xla", "pallas"),
     seed: int = 0,
+    layout: str = "banded",
 ) -> Dict:
     """Propagation throughput across feature widths c.
 
@@ -150,10 +156,12 @@ def bench_c_sweep(
     but cheap relative to measurement).
     """
     result: Dict = {"dataset": dataset, "niter": niter, "cs": list(cs),
+                    "layout": layout,
                     "device": str(jax.devices()[0]), "sweep": {}}
     for c in cs:
         res = bench_propagation(dataset=dataset, c=int(c), niter=niter,
-                                iters=iters, backends=backends, seed=seed)
+                                iters=iters, backends=backends, seed=seed,
+                                layout=layout)
         row = {}
         for b, v in res["backends"].items():
             row[b] = ({"error": v["error"]} if "error" in v else

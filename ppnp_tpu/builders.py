@@ -46,21 +46,26 @@ def resolve_alpha(cfg: RunConfig) -> float:
     return spec.alpha if spec is not None else 0.1
 
 
-def _resolve_layout(cfg: RunConfig, a_hat) -> Tuple[str, Dict[str, int]]:
-    """(packer layout, explicit geometry kwargs) for the config.
+def _resolve_layout(cfg: RunConfig, a_hat, reorder: str = "rcm"):
+    """(packer layout, geometry kwargs, precomputed perm) for the config.
 
     ``layout="auto"`` runs the issue-cost geometry model ONCE on the
     full matrix (ppnp_tpu.ops.pairchunks.select_geometry) and pins the
     result as explicit kwargs, so forward/transpose packings — and every
-    shard of a sharded build — share one static geometry.
+    shard of a sharded build — share one static geometry. The RCM
+    permutation computed for the model is returned so callers pack
+    under it instead of recomputing RCM (it is the expensive host step
+    at ingest scale). ``reorder=None`` skips RCM (e.g. the sharded path,
+    whose graph was already relabeled by ``load_graph``).
     """
     if cfg.layout != "auto":
-        return cfg.layout, {}
-    from ppnp_tpu.ops.pairchunks import select_geometry
-    geo = select_geometry(a_hat, reorder="rcm")
+        return cfg.layout, {}, None
+    from ppnp_tpu.ops.pairchunks import rcm_permutation, select_geometry
+    perm = rcm_permutation(a_hat) if reorder == "rcm" else None
+    geo = select_geometry(a_hat, perm=perm)
     cost = geo.pop("cost")
     logger.info("auto geometry: %s (model cost %.3g)", geo, cost)
-    return "banded", geo
+    return "banded", geo, perm
 
 
 def build_propagator(cfg: RunConfig, graph: SparseGraph):
@@ -84,8 +89,10 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
             # used for the forward and transpose packings. Pack + slot
             # permutation run host-side, ONE upload at the end (device
             # round-trips are very slow on tunneled platforms).
-            layout, geo = _resolve_layout(cfg, a_hat)
-            pc = packer_for(layout)(a_hat, reorder="rcm", device=False,
+            layout, geo, aperm = _resolve_layout(cfg, a_hat)
+            reorder_kw = ({"perm": aperm} if aperm is not None
+                          else {"reorder": "rcm"})
+            pc = packer_for(layout)(a_hat, device=False, **reorder_kw,
                                     **geo)
             row_perm = (np.asarray(pc.perm) if pc.perm is not None
                         else None)
@@ -97,9 +104,12 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
             # HBM-streaming row blocks for graphs whose H outgrows VMEM
             # on one chip (ppnp_tpu.kernels.blocked).
             from ppnp_tpu.kernels.blocked import build_blocked_pair_chunks
-            _, geo = _resolve_layout(cfg, a_hat)
+            _, geo, aperm = _resolve_layout(cfg, a_hat)
+            reorder_kw = ({"perm": aperm, "reorder": None}
+                          if aperm is not None else {})
             pc = build_blocked_pair_chunks(
-                a_hat, rows_per_block=cfg.rows_per_block, **geo)
+                a_hat, rows_per_block=cfg.rows_per_block, **reorder_kw,
+                **geo)
             logger.info("blocked: %d blocks of %d rows, H window %d",
                         pc.n_blocks, pc.rows_per_block, pc.hw)
         return PPRPowerIteration(
@@ -119,7 +129,9 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
                     n_shards, sg.shard_rows, sg.boundary, sg.edges_pad)
         pc = pc_t = w_perm = None
         if cfg.backend == "pallas":
-            layout, geo = _resolve_layout(cfg, a_hat)
+            # load_graph already RCM-relabeled the sharded graph, so the
+            # geometry model runs on the relabeled matrix directly.
+            layout, geo, _ = _resolve_layout(cfg, a_hat, reorder=None)
             pc, pc_t, w_perm = build_sharded_pair_chunks(
                 sg, layout=layout, **geo)
         return ShardedPowerIteration(

@@ -9,7 +9,8 @@ arrays, gather + segment-sum SpMM (XLA) or a Pallas kernel, and
 from ppnp_tpu.ops.normalize import calc_A_hat  # noqa: F401
 from ppnp_tpu.ops.sparse import EdgeList, edge_list_from_scipy  # noqa: F401
 from ppnp_tpu.ops.pairchunks import (  # noqa: F401
-    PairChunks, pair_chunks_banded, pair_chunks_from_scipy,
+    PairChunks, pair_chunks_auto, pair_chunks_banded,
+    pair_chunks_from_scipy, select_geometry, validate_pair_chunks,
 )
 from ppnp_tpu.ops.propagation import (  # noqa: F401
     spmm_edge_list, PPRPowerIteration,

@@ -735,14 +735,14 @@ def pair_chunks_auto(mat: sp.spmatrix, reorder: Optional[str] = None,
     Drop-in for ``pair_chunks_banded``; explicit geometry kwargs
     (window/window_src/chunk/seg_per_mid) override the model's pick.
     """
-    geo = select_geometry(mat, reorder=reorder, perm=perm,
+    perm = _resolve_perm(mat, reorder, perm)  # RCM computed ONCE
+    geo = select_geometry(mat, perm=perm,
                           mids_per_step=kwargs.get("mids_per_step", 16))
     geo.pop("cost")
     for k in tuple(geo):
         if k in kwargs:
             geo[k] = kwargs.pop(k)
-    return pair_chunks_banded(mat, reorder=reorder, perm=perm,
-                              **geo, **kwargs)
+    return pair_chunks_banded(mat, perm=perm, **geo, **kwargs)
 
 
 def to_device(pc: PairChunks) -> PairChunks:
@@ -844,7 +844,6 @@ def pad_stack_pair_chunks(pclist) -> PairChunks:
     Static fields must be identical to stack; ``nnz`` is metadata only
     (roofline accounting) and is replaced by the per-member max.
     """
-    import chex
     import jax
     import jax.numpy as jnp
     statics = ("window", "window_src", "chunk", "seg_per_mid",
@@ -864,7 +863,11 @@ def pad_stack_pair_chunks(pclist) -> PairChunks:
     padded = [pad_pair_chunks(p, n_seg, n_mid).replace(nnz=nnz)
               for p in pclist]
     if len(padded) > 1:
-        chex.assert_trees_all_equal_shapes(*padded)
+        try:  # chex is a test-extra; the static check above is the gate
+            import chex
+            chex.assert_trees_all_equal_shapes(*padded)
+        except ImportError:
+            pass
     return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
 
 

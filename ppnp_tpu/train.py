@@ -391,8 +391,10 @@ def train_model(
             _save(last_epoch, params, opt_state, best)
         chunk_start += count
 
+    trace_written = profiling_active
     if profiling_active:
         jax.profiler.stop_trace()
+        profiling_active = False
         logger.info("profiler trace written to %s", profile_dir)
 
     runtime = time.time() - t_start
@@ -403,8 +405,18 @@ def train_model(
     else:
         best_epoch = None
 
-    # Final evaluation (eval mode) on all splits.
-    preds = get_predictions(params, x, propagator)
+    # Final evaluation (eval mode) on all splits. If training stopped
+    # inside the first (compile-bearing) chunk the steady-state trace
+    # never started — trace this eval forward instead so profile_dir is
+    # never silently left empty.
+    if profile_dir is not None and not trace_written and chunk_times:
+        logger.warning(
+            "training ended during the first epoch chunk; tracing the "
+            "final eval forward instead of steady-state chunks")
+        with jax.profiler.trace(profile_dir, create_perfetto_trace=True):
+            preds = get_predictions(params, x, propagator)
+    else:
+        preds = get_predictions(params, x, propagator)
     n_classes = int(labels_np.max()) + 1
     result: Dict[str, Any] = {}
     for split_name, idx in (("train", idx_train_np),

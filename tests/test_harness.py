@@ -350,13 +350,17 @@ def test_bench_orchestrator_fallback_tier(monkeypatch, capsys):
     assert line["fallback_tier"] == 2
     assert line["value"] == pytest.approx(t2_healthy * 0.9)
 
-    # _better prefers: lower tier > measured basis > higher value.
+    # _better prefers: lower tier > higher value > measured basis. A
+    # healthy provisional line must beat a degraded complete one (its
+    # value is a real measurement either way).
     a = {"tier": 0, "value": 1.0, "vs_baseline_basis": "measured"}
     b = {"tier": 2, "value": 100.0, "vs_baseline_basis": "measured"}
     c = {"tier": 0, "value": 2.0,
          "vs_baseline_basis": "recorded_healthy_xla"}
+    d = {"tier": 0, "value": 2.0, "vs_baseline_basis": "measured"}
     assert bench._better(a, b) and not bench._better(b, a)
-    assert bench._better(a, c) and not bench._better(c, a)
+    assert bench._better(c, a) and not bench._better(a, c)
+    assert bench._better(d, c) and not bench._better(c, d)
 
 
 def test_bench_blocked_structure():
