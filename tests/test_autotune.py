@@ -123,6 +123,22 @@ def test_pair_chunks_auto_packs_correctly():
     np.testing.assert_allclose(out, mat @ h, rtol=2e-4, atol=2e-4)
 
 
+def test_auto_layout_build_paths():
+    """layout='auto' builds all three pallas-family propagators (power,
+    blocked, sharded) with one globally-resolved geometry — per-shard/
+    per-block packings must share static geometry to stack."""
+    from ppnp_tpu.builders import build_propagator, load_graph
+    from ppnp_tpu.config import RunConfig
+
+    for backend, prop in (("pallas", "power"), ("blocked", "power"),
+                          ("pallas", "sharded")):
+        cfg = RunConfig(dataset="cora_ml", backend=backend,
+                        propagation=prop, layout="auto",
+                        rows_per_block=1024, n_shards=2)
+        p = build_propagator(cfg, load_graph(cfg))
+        assert p is not None
+
+
 def test_auto_geometry_override():
     """Explicit geometry kwargs override the model's pick."""
     mat = _banded_matrix(800, 4000, 60, seed=9)
