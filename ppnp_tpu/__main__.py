@@ -229,12 +229,47 @@ def cmd_retrieve(args) -> int:
 
 def cmd_info(args) -> int:
     import jax
-    print(json.dumps({
+    out = {
         "jax": jax.__version__,
         "devices": [str(d) for d in jax.devices()],
         "process_count": jax.process_count(),
         "default_backend": jax.default_backend(),
-    }, indent=2))
+    }
+    if getattr(args, "health", False):
+        # Quick device-health classification: the tunneled TPU has
+        # multi-hour degraded windows where compute runs ~10x slow
+        # (docs/PERFORMANCE.md "platform hazard"); a 20-matmul chain
+        # plus dispatch timing separates healthy / degraded / hung
+        # without paying a full bench run.
+        import time
+
+        import jax.numpy as jnp
+        x = jnp.ones((1024, 1024), jnp.float32)
+        y = (x @ x).block_until_ready()  # compile + first dispatch
+        t0 = time.perf_counter()
+        for _ in range(20):
+            y = y @ x
+        y.block_until_ready()
+        chain_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        (x @ x).block_until_ready()
+        dispatch_s = time.perf_counter() - t0
+        # v5e: a 1k^3 matmul is ~10µs of MXU work; a 20-chain under
+        # ~60ms (dominated by one dispatch round-trip) is healthy.
+        # CPU backends are slower but local — classify by chain time
+        # only on TPU-like backends.
+        is_accel = out["default_backend"] != "cpu"
+        status = "healthy"
+        if is_accel and chain_s > 0.6:
+            status = "degraded"
+        if is_accel and chain_s > 6.0:
+            status = "severely_degraded"
+        out["health"] = {
+            "matmul20_chain_s": round(chain_s, 4),
+            "single_dispatch_s": round(dispatch_s, 4),
+            "status": status,
+        }
+    print(json.dumps(out, indent=2))
     return 0
 
 
@@ -314,6 +349,9 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_retrieve)
 
     p = sub.add_parser("info", help="device/platform info")
+    p.add_argument("--health", action="store_true",
+                   help="run a quick device-health probe (classifies "
+                        "the tunnel's degraded windows)")
     p.set_defaults(fn=cmd_info)
 
     args = parser.parse_args(argv)

@@ -421,3 +421,14 @@ def test_cli_train_sharded_smoke(capsys):
     out = capsys.readouterr().out
     row = json.loads(out[out.index("{"):])  # indent=2 multi-line JSON
     assert 0.0 <= row["valtest"]["accuracy"] <= 1.0
+
+
+def test_cli_info_health(capsys):
+    """info --health classifies the device (healthy on local CPU)."""
+    from ppnp_tpu.__main__ import main
+
+    rc = main(["info", "--health"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["health"]["status"] == "healthy"
+    assert out["health"]["matmul20_chain_s"] > 0
