@@ -237,7 +237,13 @@ def main() -> int:
                           "value": 0.0, "unit": "steps/s",
                           "vs_baseline": 0.0,
                           "error": "all attempts hung or failed "
-                                   "(degraded TPU tunnel window)"}))
+                                   "(degraded TPU tunnel window)",
+                          "attempts": attempts,
+                          "last_healthy_recorded_steps_per_s":
+                              TIERS[0]["healthy"],
+                          "last_healthy_recorded_note":
+                              "BASELINE.md 2026-08-17, banded pallas "
+                              "kernel, NOT measured this run"}))
         return 1
     print(json.dumps(best), flush=True)
     return 0
