@@ -329,6 +329,49 @@ def test_bench_orchestrator_tiers_and_retries(monkeypatch, capsys):
     assert line["degraded"] is True
 
 
+def test_bench_measure_once_progressive_emit(monkeypatch, capsys):
+    """The child prints a provisional pallas-only line (vs_baseline from
+    the recorded healthy XLA, flagged) BEFORE the XLA arm runs, then the
+    final measured-ratio line — so a kill mid-XLA still yields data."""
+    import bench
+    import ppnp_tpu.benchmarks as bm
+
+    def fake_bench(dataset, c, niter, iters, backends):
+        res = {"dataset": dataset, "n": 10, "nnz": 20, "c": c,
+               "niter": niter, "device": "fake", "backends": {}}
+        for b in backends:
+            sps = 1000.0 if b == "pallas" else 125.0
+            res["backends"][b] = {"steps_per_s": sps,
+                                  "effective_gbps": 1.0,
+                                  "fraction_of_sol": 0.1}
+        return res
+
+    monkeypatch.setattr(bm, "bench_propagation", fake_bench)
+    assert bench.measure_once(1) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    prov, final = lines
+    assert prov["backend"] == "pallas"
+    assert prov["vs_baseline_basis"] == "recorded_healthy_xla"
+    assert prov["vs_baseline"] == pytest.approx(
+        1000.0 / bench.TIERS[1]["xla_ref"], abs=1e-3)  # line rounds to 3dp
+    assert final["vs_baseline_basis"] == "measured"
+    assert final["vs_baseline"] == pytest.approx(8.0)
+    assert final["tier"] == 1 and final["value"] == 1000.0
+
+    # Every backend erroring → one error line, rc 1.
+    def fake_err(dataset, c, niter, iters, backends):
+        return {"dataset": dataset, "n": 0, "nnz": 0, "c": c,
+                "niter": niter, "device": "fake",
+                "backends": {b: {"error": "boom"} for b in backends}}
+
+    monkeypatch.setattr(bm, "bench_propagation", fake_err)
+    assert bench.measure_once(0) == 1
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == 0.0 and "error" in line
+
+
 def test_bench_orchestrator_fallback_tier(monkeypatch, capsys):
     """When tier 0 never yields a number, a fallback tier's line is
     reported (flagged with fallback_tier) instead of 0.0."""
