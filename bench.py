@@ -54,14 +54,15 @@ import time
 # whenever the child finishes both backends).
 TIERS = [
     {"tier": 0, "dataset": "ms_academic", "c": 128, "niter": 100,
-     "iters": 10, "timeout": 420.0, "healthy": 4010.0, "xla_ref": 461.0},
-    # Shorter chains amortize the ~1.3ms tunnel dispatch less:
-    # healthy ≈ 1/(us_per_step + 1300/niter). Tier 1: 1/(249+26)µs;
-    # tier 2 (cora, 75.1µs/step measured): 1/(75+26)µs.
+     "iters": 10, "timeout": 420.0, "healthy": 4500.0, "xla_ref": 441.0},
+    # healthy/xla_ref recalibrated 2026-08-18 after the _time sync fix
+    # (fetch-forced execution + fetch-RTT subtraction, benchmarks._sync):
+    # measured healthy-window values were 4527.6 / 4643.6 / 41597.8
+    # steps/s for tiers 0/1/2 respectively.
     {"tier": 1, "dataset": "ms_academic", "c": 128, "niter": 50,
-     "iters": 3, "timeout": 300.0, "healthy": 3600.0, "xla_ref": 450.0},
+     "iters": 3, "timeout": 300.0, "healthy": 4600.0, "xla_ref": 443.0},
     {"tier": 2, "dataset": "cora_ml", "c": 128, "niter": 50,
-     "iters": 3, "timeout": 240.0, "healthy": 9900.0, "xla_ref": 2400.0},
+     "iters": 3, "timeout": 240.0, "healthy": 41000.0, "xla_ref": 4241.0},
 ]
 WATERMARK_FRACTION = 0.5
 

@@ -39,7 +39,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    choices=["xla", "pallas", "blocked"],
                    help="SpMM path: blocked = HBM-streaming row "
                         "blocks for graphs larger than VMEM")
-    p.add_argument("--rows-per-block", type=int, default=32768)
+    p.add_argument("--rows-per-block", type=int, default=16384)
     p.add_argument("--layout", default="banded",
                    choices=["banded", "aligned", "auto"],
                    help="pallas slot packing (docs/PERFORMANCE.md); "
@@ -65,7 +65,7 @@ def _cfg_from_args(args) -> RunConfig:
         backend=args.backend, layout=getattr(args, "layout", "banded"),
         exchange=args.exchange,
         n_shards=args.n_shards, print_interval=args.print_interval,
-        rows_per_block=getattr(args, 'rows_per_block', 32768),
+        rows_per_block=getattr(args, 'rows_per_block', 16384),
         shard_reorder=getattr(args, 'shard_reorder', 'rcm'),
         metrics_path=getattr(args, "metrics_out", None),
         checkpoint_dir=getattr(args, "checkpoint_dir", None),

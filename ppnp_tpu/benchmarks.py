@@ -32,26 +32,50 @@ __all__ = ["bench_propagation", "HBM_BYTES_PER_S"]
 HBM_BYTES_PER_S = 820e9
 
 
+def _sync(r) -> None:
+    """Force execution of ``r`` and everything queued before it.
+
+    ``block_until_ready`` is NOT sufficient on the tunneled axon
+    platform: for large outputs (measured at n=500k, c=128 — a 256MB
+    result) it returns immediately while execution is still deferred,
+    so a timing loop that only blocks reads ~0.1ms "per call" for a
+    multi-second program. A small device→host fetch forces the whole
+    (ordered) dispatch queue to retire. The fetch is ≥8 elements —
+    single-element transfers are pathologically slow here
+    (docs/PERFORMANCE.md "platform hazard").
+    """
+    leaf = jnp.ravel(jax.tree.leaves(r)[0])
+    np.asarray(leaf[: min(8, leaf.shape[0])])
+
+
 def _time(f, *args, iters: int = 30) -> float:
     """Median-of-3 timing with a FRESH first argument per call.
 
     The tunneled single-chip platform shows large timing artifacts when
     the same input buffer is replayed (observed 2x swings); perturbing
     the first arg per call and taking the median of three trials gives
-    stable numbers.
+    stable numbers. Each trial ends with a small device→host fetch
+    (``_sync``) rather than ``block_until_ready`` — see ``_sync``.
     """
     h0, rest = args[0], args[1:]
     variants = [h0 + jnp.float32(i) * 1e-6 for i in range(iters)]
     jax.block_until_ready(variants)
     r = f(variants[0], *rest)
-    jax.tree.map(lambda x: x.block_until_ready(), r)
+    _sync(r)
     trials = []
     for _ in range(3):
         t0 = time.perf_counter()
         for h in variants:
             r = f(h, *rest)
-        jax.tree.map(lambda x: x.block_until_ready(), r)
-        trials.append((time.perf_counter() - t0) / iters)
+        _sync(r)
+        t1 = time.perf_counter()
+        # Re-sync the now-ready result: pure fetch/RTT cost (~27ms on
+        # this tunnel), subtracted so the fetch doesn't inflate short
+        # trials. Clamped — a degraded-window spike on the second fetch
+        # must not produce a negative measurement.
+        _sync(r)
+        t_fetch = time.perf_counter() - t1
+        trials.append(max((t1 - t0) - t_fetch, (t1 - t0) * 0.1) / iters)
     return sorted(trials)[1]
 
 
@@ -115,11 +139,16 @@ def bench_propagation(
                 pc = build_blocked_pair_chunks(a_hat, with_adjoint=False)
             else:
                 pc = None
-            prop = PPRPowerIteration(edges=edges, pair_chunks=pc,
-                                     alpha=alpha, niter=niter,
-                                     backend=backend)
-            f = jax.jit(lambda h, p=prop: p(h, train=False))
-            t = _time(f, h0, iters=iters)
+            prop = jax.device_put(PPRPowerIteration(
+                edges=edges, pair_chunks=pc, alpha=alpha, niter=niter,
+                backend=backend))
+            # The propagator rides as a jit ARGUMENT, not a closure:
+            # closed-over packings become inline HLO constants, and at
+            # production graph sizes (bench_blocked: ~100MB of packed
+            # arrays) the constant-laden program crashes this platform's
+            # remote compile helper (HTTP 500, measured 2026-08-18).
+            f = jax.jit(lambda h, p: p(h, train=False))
+            t = _time(f, h0, prop, iters=iters)
         except Exception as e:  # pragma: no cover - backend unavailable
             logger.warning("backend %s failed: %s", backend, str(e)[:200])
             result["backends"][backend] = {"error": str(e)[:500]}
@@ -185,7 +214,7 @@ def bench_blocked(
     c: int = 128,
     niter: int = 20,
     iters: int = 3,
-    rows_per_block: int = 32768,
+    rows_per_block: int = 16384,
     seed: int = 0,
 ) -> Dict:
     """XLA vs blocked HBM-streaming propagation on a VMEM-exceeding graph.
@@ -234,9 +263,14 @@ def bench_blocked(
         else:
             prop = PPRPowerIteration(edges=edge_list_from_scipy(a_hat),
                                      alpha=0.1, niter=niter, backend="xla")
-        f = jax.jit(lambda h, p=prop: p.propagate(h, train=False))
+        # Argument, not closure: at this scale the packings are ~100MB;
+        # baked in as HLO constants they crash the remote compile helper
+        # (HTTP 500 "tpu_compile_helper subprocess exit code 1",
+        # measured 2026-08-18 at 500k nodes / 5M edges).
+        prop = jax.device_put(prop)
+        f = jax.jit(lambda h, p: p.propagate(h, train=False))
         try:
-            t = _time(f, h0, iters=iters)
+            t = _time(f, h0, prop, iters=iters)
         except Exception as e:  # pragma: no cover - backend unavailable
             logger.warning("backend %s failed: %s", backend, str(e)[:200])
             result["backends"][backend] = {"error": str(e)[:500]}
@@ -320,8 +354,12 @@ def bench_scaling(
         h0 = jax.device_put(
             jnp.asarray(rng.randn(sg.n_pad, c).astype(np.float32)),
             prop.input_sharding())
-        f = jax.jit(lambda h, p=prop: p(h, train=False))
-        t = _time(f, h0, iters=iters)
+        # Argument, not closure (see bench_propagation): one device_put
+        # commits the tables so the timed loop never re-uploads them;
+        # jit inserts any reshard the shard_map in_specs require.
+        prop = jax.device_put(prop)
+        f = jax.jit(lambda h, p: p(h, train=False))
+        t = _time(f, h0, prop, iters=iters)
         sps = niter / t
         if base_sps is None:
             base_sps = sps

@@ -38,7 +38,7 @@ class RunConfig:
     layout: str = "banded"       # pallas packing: banded | aligned | auto
     exchange: str = "alltoall"   # sharded: alltoall | allgather
     n_shards: Optional[int] = None  # sharded: None → all devices
-    rows_per_block: int = 32768  # blocked: rows per HBM-streamed block
+    rows_per_block: int = 16384  # blocked: rows per HBM-streamed block
     shard_reorder: str = "rcm"   # sharded: relabel before partitioning
     #                              ("rcm" | "none") — shrinks boundaries
 

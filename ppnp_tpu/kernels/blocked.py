@@ -76,7 +76,7 @@ class BlockedPairChunks:
 
 def build_blocked_pair_chunks(
     mat: sp.spmatrix,
-    rows_per_block: int = 32768,
+    rows_per_block: int = 16384,
     reorder: Optional[str] = "rcm",
     perm: Optional[np.ndarray] = None,
     with_adjoint: bool = True,
