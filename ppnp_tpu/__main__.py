@@ -53,6 +53,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="relabel nodes before row-partitioning so shard "
                         "boundaries shrink (sharded propagation only)")
     p.add_argument("--print-interval", type=int, default=20)
+    p.add_argument("--x-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="attribute-matrix storage dtype (bfloat16 halves "
+                        "the n×f HBM traffic; weights/optimizer stay f32)")
 
 
 def _cfg_from_args(args) -> RunConfig:
@@ -70,6 +74,7 @@ def _cfg_from_args(args) -> RunConfig:
         metrics_path=getattr(args, "metrics_out", None),
         checkpoint_dir=getattr(args, "checkpoint_dir", None),
         resume=getattr(args, "resume", False),
+        x_dtype=getattr(args, "x_dtype", None) or "float32",
     )
 
 
@@ -152,13 +157,23 @@ def cmd_bench(args) -> int:
         return _cmd_bench_inner(args)
 
 
+def _parse_x_dtype(args):
+    """Map the --x-dtype flag to a jnp dtype (None = follow --dtype)."""
+    name = getattr(args, "x_dtype", None)
+    if name in (None, "", "float32"):
+        return None
+    import jax.numpy as jnp
+    return jnp.bfloat16
+
+
 def _cmd_bench_inner(args) -> int:
     from ppnp_tpu.benchmarks import bench_propagation, bench_scaling
     if args.training:
         from ppnp_tpu.benchmarks import bench_training
         res = bench_training(dataset=args.dataset,
                              backend=args.backends[0],
-                             epochs=args.epochs)
+                             epochs=args.epochs,
+                             x_dtype=_parse_x_dtype(args))
     elif args.retrieval:
         from ppnp_tpu.benchmarks import bench_retrieval
         res = bench_retrieval(dataset=args.dataset)
@@ -326,6 +341,9 @@ def main(argv=None) -> int:
                         "c in {16, 64, 128, 256}")
     p.add_argument("--training", action="store_true",
                    help="steady-state training epochs/s")
+    p.add_argument("--x-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="attribute-matrix dtype for --training")
     p.add_argument("--retrieval", action="store_true",
                    help="top-k retrieval queries/s")
     p.add_argument("--blocked-scale", action="store_true",

@@ -385,6 +385,7 @@ def bench_training(
     backend: str = "pallas",
     epochs: int = 200,
     seed: int = 0,
+    x_dtype=None,
 ) -> Dict:
     """Steady-state training throughput (epochs/s), compile excluded.
 
@@ -410,13 +411,14 @@ def bench_training(
     epochs = max(chunk, (epochs // chunk) * chunk)
     train_model(graph, prop, stopping_args={"max_epochs": chunk,
                                             "patience": 10 ** 6},
-                seed=seed, print_interval=0, epoch_chunk=chunk)
+                seed=seed, print_interval=0, epoch_chunk=chunk,
+                x_dtype=x_dtype)
     t0 = time.perf_counter()
     _, res = train_model(graph, prop,
                          stopping_args={"max_epochs": epochs,
                                         "patience": 10 ** 6},
                          seed=seed, print_interval=0,
-                         epoch_chunk=chunk)
+                         epoch_chunk=chunk, x_dtype=x_dtype)
     wall = time.perf_counter() - t0
     # Steady state = median per-epoch cost over the jitted epoch chunks
     # (chunk dispatch + device work + the per-chunk metric download),

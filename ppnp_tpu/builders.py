@@ -12,6 +12,7 @@ import logging
 from typing import Any, Dict, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from ppnp_tpu.config import RunConfig
 from ppnp_tpu.data.datasets import DATASETS, load_dataset
@@ -160,4 +161,5 @@ def train_kwargs(cfg: RunConfig) -> Dict[str, Any]:
         test=cfg.test,
         seed=cfg.seed,
         print_interval=cfg.print_interval,
+        x_dtype=(jnp.bfloat16 if cfg.x_dtype == "bfloat16" else None),
     )

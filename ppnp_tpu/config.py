@@ -29,6 +29,8 @@ class RunConfig:
     # model (reference defaults: SURVEY.md §6 hyperparameters)
     hidden: List[int] = field(default_factory=lambda: [64])
     drop_prob: float = 0.5
+    x_dtype: str = "float32"     # attribute-matrix storage: float32 |
+    #                              bfloat16 (weights/Adam stay float32)
 
     # propagation
     propagation: str = "power"   # power | exact | sharded

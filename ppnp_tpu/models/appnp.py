@@ -61,7 +61,17 @@ def mlp_forward(params: MlpParams, x: jnp.ndarray, *,
     for i, w in enumerate(params):
         if use_drop:
             h = dropout(keys[i], h, drop_prob)
-        h = h @ w
+        if h.dtype != w.dtype:
+            # Mixed-precision input path (x_dtype=bfloat16 in train_model):
+            # keep the 500MB-scale attribute matrix in bf16 end-to-end —
+            # dropout writes a bf16 dropped copy, the MXU consumes bf16
+            # operands natively — while master weights stay f32. Casting
+            # W (1-2MB) down is free; accumulation stays f32 via
+            # preferred_element_type, so only the DATA is low-precision.
+            h = jnp.matmul(h, w.astype(h.dtype),
+                           preferred_element_type=w.dtype)
+        else:
+            h = h @ w
         if i < len(params) - 1:
             h = jax.nn.relu(h)
     return h

@@ -183,6 +183,7 @@ def train_model(
     resume: bool = False,
     epoch_chunk: int = 10,
     profile_dir: Optional[str] = None,
+    x_dtype=None,
 ) -> Tuple[Any, Dict[str, Any]]:
     """Train PPNP/APPNP on a graph; returns (params, result_dict).
 
@@ -215,7 +216,13 @@ def train_model(
     n_rows = getattr(propagator, "n_rows", x_np.shape[0])
     if n_rows > x_np.shape[0]:
         x_np = np.pad(x_np, ((0, n_rows - x_np.shape[0]), (0, 0)))
-    x = jnp.asarray(x_np, dtype=dtype)
+    # ``x_dtype`` stores ONLY the attribute matrix in a lower precision
+    # (bfloat16 halves the dominant n×f HBM traffic: the train-forward
+    # dropout copy, the first-layer dot reads in forward/backward, and
+    # the eval forward) while parameters, Adam state, activations past
+    # layer 1, and the propagation stay at ``dtype`` — see
+    # models/appnp.py mlp_forward's mixed-precision dot.
+    x = jnp.asarray(x_np, dtype=x_dtype or dtype)
     if hasattr(propagator, "input_sharding"):
         x = jax.device_put(x, propagator.input_sharding())
 

@@ -82,6 +82,25 @@ def test_train_reduces_loss_and_reaches_accuracy(small_graph):
     assert res["last_epoch"] >= 40
 
 
+def test_train_bf16_attributes_matches_f32(small_graph):
+    """x_dtype=bfloat16 keeps weights/Adam in f32 and trains to the same
+    quality: only the attribute matrix (data, 8-bit mantissa is plenty
+    for L1-normalized bag-of-words) is stored low-precision, so the
+    result should track the f32 run within noise."""
+    prop = _build_power(small_graph)
+    kw = dict(test=True, seed=0, print_interval=0,
+              idx_split_args={"ntrain_per_class": 20, "nstopping": 60,
+                              "nknown": 200, "seed": 11},
+              stopping_args={"max_epochs": 150, "patience": 40})
+    params32, res32 = train_model(small_graph, prop, **kw)
+    params16, res16 = train_model(small_graph, prop,
+                                  x_dtype=jnp.bfloat16, **kw)
+    assert all(w.dtype == jnp.float32 for w in params16)
+    assert res16["valtest"]["accuracy"] > 0.6
+    assert abs(res16["valtest"]["accuracy"]
+               - res32["valtest"]["accuracy"]) < 0.05
+
+
 def test_train_exact_propagation(small_graph):
     a_hat = calc_A_hat(small_graph.adj_matrix)
     prop = PPRExact(ppr=calc_ppr_exact(a_hat, 0.1))
