@@ -137,6 +137,75 @@ def measure_once(tier_idx: int) -> int:
     return 0
 
 
+def measure_xla_only(tier_idx: int) -> int:
+    """Child: measure ONLY the XLA arm of a tier (basis-upgrade runs)."""
+    import logging
+    logging.basicConfig(level=logging.WARNING)
+    from ppnp_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
+    from ppnp_tpu.benchmarks import bench_propagation
+
+    t = TIERS[tier_idx]
+    res = bench_propagation(dataset=t["dataset"], c=t["c"],
+                            niter=t["niter"], iters=t["iters"],
+                            backends=("xla",))
+    xla = res["backends"].get("xla", {})
+    if "error" in xla or "steps_per_s" not in xla:
+        print(json.dumps({"metric": "xla_arm_steps_per_s", "value": 0.0,
+                          "tier": tier_idx,
+                          "error": str(xla.get("error", "missing"))[:300]}),
+              flush=True)
+        return 1
+    print(json.dumps({"metric": "xla_arm_steps_per_s",
+                      "value": round(xla["steps_per_s"], 1),
+                      "unit": "steps/s", "tier": tier_idx}), flush=True)
+    return 0
+
+
+def _run_xla_child(tier_idx: int, timeout: float):
+    """Run the XLA-only child; returns its steps/s or None."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--xla-only",
+             "--tier", str(tier_idx)],
+            capture_output=True, text=True, timeout=timeout)
+        lines = _parse_lines(proc.stdout)
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout
+        if isinstance(out, bytes):
+            out = out.decode("utf-8", "replace")
+        lines = _parse_lines(out or "")
+    for line in lines:
+        if line.get("metric") == "xla_arm_steps_per_s":
+            return float(line["value"])
+    return None
+
+
+def upgrade_basis(best, remaining_s: float, runner=None):
+    """Convert a provisional ``recorded_healthy_xla`` ratio to a measured
+    one when budget remains (VERDICT r2 item 7: never ship a mixed-basis
+    headline if an XLA-only child still fits the budget).
+
+    The pallas and XLA arms then come from separate child processes —
+    closer in time than the recorded healthy number, and flagged via
+    ``xla_arm_window`` so the provenance stays explicit.
+    """
+    if best is None or best.get("vs_baseline_basis") == "measured":
+        return best
+    t = TIERS[best["tier"]]
+    if remaining_s < t["timeout"] * 0.5:
+        return best
+    runner = runner or _run_xla_child
+    xla = runner(best["tier"], min(t["timeout"], max(60.0, remaining_s)))
+    if xla and xla > 0:
+        best = dict(best)
+        best["vs_baseline"] = round(best["value"] / xla, 3)
+        best["vs_baseline_basis"] = "measured"
+        best["xla_arm_steps_per_s"] = round(xla, 1)
+        best["xla_arm_window"] = "separate_child"
+    return best
+
+
 def warm() -> int:
     """Pre-compile every tier's programs into the persistent cache."""
     from ppnp_tpu.utils.compcache import enable_compilation_cache
@@ -246,6 +315,8 @@ def main() -> int:
                               "BASELINE.md 2026-08-17, banded pallas "
                               "kernel, NOT measured this run"}))
         return 1
+    best = upgrade_basis(best,
+                         TOTAL_BUDGET_S - (time.monotonic() - start))
     print(json.dumps(best), flush=True)
     return 0
 
@@ -254,6 +325,11 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     if "--warm" in argv:
         sys.exit(warm())
+    if "--xla-only" in argv:
+        tier = 0
+        if "--tier" in argv:
+            tier = int(argv[argv.index("--tier") + 1])
+        sys.exit(measure_xla_only(tier))
     if "--once" in argv:
         tier = 0
         if "--tier" in argv:

@@ -57,6 +57,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    choices=["float32", "bfloat16"],
                    help="attribute-matrix storage dtype (bfloat16 halves "
                         "the n×f HBM traffic; weights/optimizer stay f32)")
+    p.add_argument("--x-format", default="auto",
+                   choices=["auto", "dense", "sparse"],
+                   help="attribute-matrix layout: sparse routes fc1 "
+                        "through the pair-chunks SpMM kernel (the "
+                        "reference's MixedLinear); auto picks sparse "
+                        "where the densified X would dominate the epoch")
 
 
 def _cfg_from_args(args) -> RunConfig:
@@ -75,6 +81,7 @@ def _cfg_from_args(args) -> RunConfig:
         checkpoint_dir=getattr(args, "checkpoint_dir", None),
         resume=getattr(args, "resume", False),
         x_dtype=getattr(args, "x_dtype", None) or "float32",
+        x_format=getattr(args, "x_format", "auto"),
     )
 
 
@@ -158,7 +165,8 @@ def cmd_bench(args) -> int:
 
 
 def _parse_x_dtype(args):
-    """Map the --x-dtype flag to a jnp dtype (None = follow --dtype)."""
+    """Map the --x-dtype flag to a jnp dtype (None = train_model's
+    float32 default; the bench subcommand has no --dtype flag)."""
     name = getattr(args, "x_dtype", None)
     if name in (None, "", "float32"):
         return None
@@ -173,13 +181,17 @@ def _cmd_bench_inner(args) -> int:
         res = bench_training(dataset=args.dataset,
                              backend=args.backends[0],
                              epochs=args.epochs,
-                             x_dtype=_parse_x_dtype(args))
+                             x_dtype=_parse_x_dtype(args),
+                             x_format=getattr(args, "x_format", "auto"))
     elif args.retrieval:
         from ppnp_tpu.benchmarks import bench_retrieval
         res = bench_retrieval(dataset=args.dataset)
     elif args.ingest:
         from ppnp_tpu.benchmarks import bench_ingest
         res = bench_ingest()
+    elif args.exact:
+        from ppnp_tpu.benchmarks import bench_exact
+        res = bench_exact(dataset=args.dataset)
     elif args.blocked_scale:
         from ppnp_tpu.benchmarks import bench_blocked
         res = bench_blocked(n_nodes=args.blocked_nodes, c=args.c,
@@ -344,6 +356,10 @@ def main(argv=None) -> int:
     p.add_argument("--x-dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="attribute-matrix dtype for --training")
+    p.add_argument("--x-format", default="auto",
+                   choices=["auto", "dense", "sparse"],
+                   help="attribute-matrix layout for --training "
+                        "(sparse = fc1 through the SpMM kernel)")
     p.add_argument("--retrieval", action="store_true",
                    help="top-k retrieval queries/s")
     p.add_argument("--blocked-scale", action="store_true",
@@ -352,6 +368,9 @@ def main(argv=None) -> int:
     p.add_argument("--blocked-nodes", type=int, default=500_000)
     p.add_argument("--ingest", action="store_true",
                    help="host-side packing edges/s (numpy vs C++)")
+    p.add_argument("--exact", action="store_true",
+                   help="dense PPR solve + exact-PPNP forward cost "
+                        "(use --dataset pubmed for the paper-scale row)")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="jax.profiler trace of the benchmark "

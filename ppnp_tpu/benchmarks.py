@@ -130,7 +130,10 @@ def bench_propagation(
         try:
             if backend == "pallas":
                 from ppnp_tpu.ops.pairchunks import packer_for
-                pc = packer_for(layout)(a_hat, reorder="rcm")
+                # Auto layout gets the feature width: the cost model's
+                # lane-tile term moves the optimum at c >= 256.
+                c_kw = {"c": c} if layout == "auto" else {}
+                pc = packer_for(layout)(a_hat, reorder="rcm", **c_kw)
             elif backend == "blocked":
                 # HBM-streaming row blocks (kernels/blocked.py) — the
                 # single-chip path for graphs whose H outgrows VMEM.
@@ -386,6 +389,7 @@ def bench_training(
     epochs: int = 200,
     seed: int = 0,
     x_dtype=None,
+    x_format: str = "auto",
 ) -> Dict:
     """Steady-state training throughput (epochs/s), compile excluded.
 
@@ -412,13 +416,14 @@ def bench_training(
     train_model(graph, prop, stopping_args={"max_epochs": chunk,
                                             "patience": 10 ** 6},
                 seed=seed, print_interval=0, epoch_chunk=chunk,
-                x_dtype=x_dtype)
+                x_dtype=x_dtype, x_format=x_format)
     t0 = time.perf_counter()
     _, res = train_model(graph, prop,
                          stopping_args={"max_epochs": epochs,
                                         "patience": 10 ** 6},
                          seed=seed, print_interval=0,
-                         epoch_chunk=chunk, x_dtype=x_dtype)
+                         epoch_chunk=chunk, x_dtype=x_dtype,
+                         x_format=x_format)
     wall = time.perf_counter() - t0
     # Steady state = median per-epoch cost over the jitted epoch chunks
     # (chunk dispatch + device work + the per-chunk metric download),
@@ -432,11 +437,69 @@ def bench_training(
     steady = per_epoch[(len(per_epoch) - 1) // 2]
     return {
         "dataset": dataset, "backend": backend, "epochs": epochs,
+        "x_dtype": str(jnp.dtype(x_dtype or jnp.float32).name),
+        "x_format": res["x_format"],
         "epochs_per_s": 1.0 / steady,
         "s_per_epoch": steady,
         "fixed_overhead_s": wall - sum(s for _, s in res["chunk_times"]),
         "wall_s": wall,
         "valtest_accuracy": res["valtest"]["accuracy"],
+        "device": str(jax.devices()[0]),
+    }
+
+
+def bench_exact(
+    dataset: str = "pubmed",
+    idx_size: int = 500,
+    iters: int = 10,
+) -> Dict:
+    """Exact-PPNP path cost on device: the dense PPR solve + forwards.
+
+    SURVEY.md §3.4 / §6: the paper's exact-PPNP column includes PubMed
+    (n≈19.7k → a 1.5GB dense Π), which the reproduce harness runs only
+    on an accelerator (reproduce.EXACT_FEASIBLE_ACCEL). This measures,
+    on the chip: (1) the steady-state solve Π = α(I−(1−α)Â)⁻¹, (2) the
+    eval-mode forward Π[idx] @ H at the training |idx| scale, (3) the
+    train-mode forward (dropout on the selected rows).
+    """
+    from ppnp_tpu.ops.exact import PPRExact
+
+    cfg = RunConfig(dataset=dataset, propagation="exact")
+    graph = load_graph(cfg)
+    a_hat = calc_A_hat(graph.adj_matrix)
+    alpha = resolve_alpha(cfg)
+    n = a_hat.shape[0]
+    n_classes = int(np.asarray(graph.labels).max()) + 1
+    a_dense = jnp.asarray(np.asarray(a_hat.todense(), dtype=np.float32))
+
+    @jax.jit
+    def solve(a):
+        eye = jnp.eye(n, dtype=jnp.float32)
+        return jnp.linalg.solve(eye - (1.0 - alpha) * a, alpha * eye)
+
+    # iters=2 bounds the fresh-operand copies: at n=19.7k each variant
+    # is 1.5GB and the LU needs its own workspace inside 16GB HBM.
+    t_solve = _time(solve, a_dense, iters=2)
+    ppr = solve(a_dense)
+    prop = PPRExact(ppr=ppr, drop_prob=0.5)
+
+    rng = np.random.RandomState(0)
+    h = jnp.asarray(rng.randn(n, n_classes).astype(np.float32))
+    idx = jnp.asarray(rng.choice(n, size=idx_size, replace=False))
+    key = jax.random.PRNGKey(0)
+
+    fwd_eval = jax.jit(lambda hh: prop(hh, idx))
+    fwd_train = jax.jit(lambda hh: prop(hh, idx, key=key, train=True))
+    t_eval = _time(fwd_eval, h, iters=iters)
+    t_train = _time(fwd_train, h, iters=iters)
+
+    return {
+        "dataset": dataset, "n": n, "alpha": alpha,
+        "n_classes": n_classes, "idx_size": idx_size,
+        "ppr_bytes": int(n) * int(n) * 4,
+        "solve_s": t_solve,
+        "eval_forward_s": t_eval,
+        "train_forward_s": t_train,
         "device": str(jax.devices()[0]),
     }
 

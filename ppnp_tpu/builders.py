@@ -162,4 +162,5 @@ def train_kwargs(cfg: RunConfig) -> Dict[str, Any]:
         seed=cfg.seed,
         print_interval=cfg.print_interval,
         x_dtype=(jnp.bfloat16 if cfg.x_dtype == "bfloat16" else None),
+        x_format=cfg.x_format,
     )

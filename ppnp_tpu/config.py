@@ -31,6 +31,9 @@ class RunConfig:
     drop_prob: float = 0.5
     x_dtype: str = "float32"     # attribute-matrix storage: float32 |
     #                              bfloat16 (weights/Adam stay float32)
+    x_format: str = "auto"       # attribute matrix layout: auto | dense |
+    #                              sparse (fc1 through the SpMM kernel —
+    #                              ops/sparse_input.py)
 
     # propagation
     propagation: str = "power"   # power | exact | sharded

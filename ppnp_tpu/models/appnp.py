@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ppnp_tpu.ops.dropout import dropout
+from ppnp_tpu.ops.sparse_input import SparseInput
 
 __all__ = ["init_mlp_params", "mlp_forward", "ppnp_forward", "l2_reg"]
 
@@ -55,24 +56,41 @@ def mlp_forward(params: MlpParams, x: jnp.ndarray, *,
     every layer except the last.
     """
     use_drop = bool(train and drop_prob > 0.0 and key is not None)
+    n_layers = len(params)
     if use_drop:
-        keys = jax.random.split(key, len(params))
+        keys = jax.random.split(key, n_layers)
     h = x
     for i, w in enumerate(params):
-        if use_drop:
-            h = dropout(keys[i], h, drop_prob)
-        if h.dtype != w.dtype:
-            # Mixed-precision input path (x_dtype=bfloat16 in train_model):
-            # keep the 500MB-scale attribute matrix in bf16 end-to-end —
-            # dropout writes a bf16 dropped copy, the MXU consumes bf16
-            # operands natively — while master weights stay f32. Casting
-            # W (1-2MB) down is free; accumulation stays f32 via
-            # preferred_element_type, so only the DATA is low-precision.
-            h = jnp.matmul(h, w.astype(h.dtype),
-                           preferred_element_type=w.dtype)
+        if i == 0 and isinstance(x, SparseInput):
+            # Sparse first layer (the reference's MixedDropout∘
+            # MixedLinear): input dropout = id-keyed edge dropout on X's
+            # nnz values, fc1 = SpMM through the pair-chunks kernel —
+            # see ops/sparse_input.py.
+            h = x.matmul(w, key=keys[0] if use_drop else None,
+                         train=train, drop_prob=drop_prob)
         else:
-            h = h @ w
-        if i < len(params) - 1:
+            if use_drop:
+                h = dropout(keys[i], h, drop_prob)
+            if h.dtype != w.dtype:
+                if jnp.finfo(h.dtype).bits < jnp.finfo(w.dtype).bits:
+                    # Mixed-precision input path (x_dtype=bfloat16 in
+                    # train_model): keep the 500MB-scale attribute matrix
+                    # in bf16 end-to-end — dropout writes a bf16 dropped
+                    # copy, the MXU consumes bf16 operands natively —
+                    # while master weights stay f32. Casting W (1-2MB)
+                    # down is free; accumulation stays f32 via
+                    # preferred_element_type, so only the DATA is
+                    # low-precision.
+                    h = jnp.matmul(h, w.astype(h.dtype),
+                                   preferred_element_type=w.dtype)
+                else:
+                    # Inverted case (weights narrower than the data —
+                    # only reachable by API misuse): upcast the small
+                    # operand so precision is never silently degraded.
+                    h = h @ w.astype(h.dtype)
+            else:
+                h = h @ w
+        if i < n_layers - 1:
             h = jax.nn.relu(h)
     return h
 

@@ -615,9 +615,12 @@ def _maybe_validate(pc: PairChunks) -> PairChunks:
 # fit is geometry-independent and drops out of the argmin.
 
 # (window, window_src, chunk) candidates spanning the measured sweep;
-# spm is chosen per (window, chunk) from the per-band counts.
+# spm is chosen per (window, chunk) from the per-band counts. The w=64
+# rows exist for the wide-c regime (c≥256), where the scatter one-hot's
+# window×MID area dominates once it is multiplied by the lane tiles —
+# smaller dst bands shrink it at the cost of fuller-segment pooling.
 GEOMETRY_CANDIDATES = tuple((w, 128, ch)
-                            for w in (128, 256, 320, 384)
+                            for w in (64, 128, 256, 320, 384)
                             for ch in (16, 24, 32))
 SPM_CANDIDATES = (16, 32, 64)
 
@@ -651,12 +654,23 @@ def banded_segment_counts(dst: np.ndarray, src: np.ndarray,
 
 
 def estimate_step_cost(n_seg_pad: int, n_mid_pad: int, chunk: int,
-                       window: int, seg_per_mid: int) -> float:
+                       window: int, seg_per_mid: int,
+                       c: int = 128) -> float:
     """Relative per-step MXU issue cost of a banded geometry (see the
-    fitted model above; arbitrary units — valid for argmin only)."""
+    fitted model above; arbitrary units — valid for argmin only).
+
+    ``c`` adds the lane-tile term: a dot with a >128-wide RHS runs one
+    MXU pass per 128-lane tile, so the STREAMING part of both dot costs
+    scales with ceil(c/128) while the fixed ~15-cycle issue overhead
+    does not. At c=128 this reduces exactly to the fitted model; the
+    measured c-sweep (BASELINE.md: 215µs @128 → 446µs @256, i.e. ~2.07×)
+    confirms the near-linear scaling the term predicts once dots are
+    throughput- rather than issue-bound.
+    """
+    lanes = max(1, -(-c // 128))
     mid = chunk * seg_per_mid
-    gather = n_seg_pad * max(15.0, chunk / 1.5)
-    scatter = 16.2 * n_mid_pad * (15.0 + mid * window / 4096.0)
+    gather = n_seg_pad * max(15.0, chunk * lanes / 1.5)
+    scatter = 16.2 * n_mid_pad * (15.0 + mid * window * lanes / 4096.0)
     return gather + scatter
 
 
@@ -668,6 +682,7 @@ def select_geometry(
     sample_rows: int = 131_072,
     candidates=GEOMETRY_CANDIDATES,
     spm_candidates=SPM_CANDIDATES,
+    c: int = 128,
 ) -> dict:
     """Pick the banded-packer geometry minimizing the issue-cost model.
 
@@ -720,7 +735,7 @@ def select_geometry(
             n_mid_pad = round_up_to_multiple(max(n_mid, 1), mids_per_step)
             n_seg_pad = n_mid_pad * spm
             cost = estimate_step_cost(n_seg_pad, n_mid_pad, chunk,
-                                      window, spm)
+                                      window, spm, c=c)
             if best is None or cost < best["cost"]:
                 best = {"window": window, "window_src": window_src,
                         "chunk": chunk, "seg_per_mid": spm, "cost": cost}
@@ -729,14 +744,18 @@ def select_geometry(
 
 def pair_chunks_auto(mat: sp.spmatrix, reorder: Optional[str] = None,
                      perm: Optional[np.ndarray] = None,
+                     c: int = 128,
                      **kwargs) -> PairChunks:
     """Banded packing with the geometry autotuned per graph.
 
     Drop-in for ``pair_chunks_banded``; explicit geometry kwargs
     (window/window_src/chunk/seg_per_mid) override the model's pick.
+    ``c`` is the feature width the operand H will carry (the cost
+    model's lane-tile term — wide c shifts the optimum toward smaller
+    dst windows).
     """
     perm = _resolve_perm(mat, reorder, perm)  # RCM computed ONCE
-    geo = select_geometry(mat, perm=perm,
+    geo = select_geometry(mat, perm=perm, c=c,
                           mids_per_step=kwargs.get("mids_per_step", 16))
     geo.pop("cost")
     for k in tuple(geo):

@@ -184,6 +184,7 @@ def train_model(
     epoch_chunk: int = 10,
     profile_dir: Optional[str] = None,
     x_dtype=None,
+    x_format: str = "auto",
 ) -> Tuple[Any, Dict[str, Any]]:
     """Train PPNP/APPNP on a graph; returns (params, result_dict).
 
@@ -209,22 +210,52 @@ def train_model(
     idx_train_np, idx_stop_np, idx_valtest_np = preprocessing.gen_splits(
         labels_np, idx_split_args, test=test)
 
-    x_np = _densify_attributes(
-        preprocessing.normalize_attributes(graph.attr_matrix))
+    attr_norm = preprocessing.normalize_attributes(graph.attr_matrix)
     # Sharded/padded propagators require H⁰ (hence X) padded to their row
     # count; padding rows are zero and never selected by any idx.
-    n_rows = getattr(propagator, "n_rows", x_np.shape[0])
-    if n_rows > x_np.shape[0]:
-        x_np = np.pad(x_np, ((0, n_rows - x_np.shape[0]), (0, 0)))
-    # ``x_dtype`` stores ONLY the attribute matrix in a lower precision
-    # (bfloat16 halves the dominant n×f HBM traffic: the train-forward
-    # dropout copy, the first-layer dot reads in forward/backward, and
-    # the eval forward) while parameters, Adam state, activations past
-    # layer 1, and the propagation stay at ``dtype`` — see
-    # models/appnp.py mlp_forward's mixed-precision dot.
-    x = jnp.asarray(x_np, dtype=x_dtype or dtype)
-    if hasattr(propagator, "input_sharding"):
-        x = jax.device_put(x, propagator.input_sharding())
+    n_rows = getattr(propagator, "n_rows", attr_norm.shape[0])
+    # ``x_format``: "sparse" keeps the attribute matrix sparse and routes
+    # fc1 through the pair-chunks SpMM kernel (the reference's
+    # MixedLinear — ops/sparse_input.py); "dense" densifies (the MXU
+    # path); "auto" picks sparse exactly where the densified matrix's
+    # HBM streams dominate the epoch: a scipy-sparse X whose dense form
+    # is ≥64MB at ≤5% density, on an unsharded propagator. Small graphs
+    # stay dense (dispatch-bound; dense fc1 is already cheap there).
+    use_sparse = x_format == "sparse"
+    if x_format == "auto":
+        use_sparse = (
+            sp.issparse(attr_norm)
+            and not hasattr(propagator, "input_sharding")
+            and attr_norm.shape[0] * attr_norm.shape[1] >= 16_000_000
+            and attr_norm.nnz <= 0.05 * attr_norm.shape[0]
+            * attr_norm.shape[1])
+    elif x_format not in ("dense", "sparse"):
+        raise ValueError(f"unknown x_format {x_format!r} "
+                         "(expected 'auto', 'dense' or 'sparse')")
+    if use_sparse:
+        if hasattr(propagator, "input_sharding"):
+            raise ValueError("x_format='sparse' is not supported with "
+                             "sharded propagators (the MLP tower is "
+                             "data-parallel over dense X there)")
+        from ppnp_tpu.ops.sparse_input import build_sparse_input
+        if not sp.issparse(attr_norm):
+            attr_norm = sp.csr_matrix(attr_norm)
+        x = build_sparse_input(attr_norm, n_rows=max(
+            n_rows, attr_norm.shape[0]))
+    else:
+        x_np = _densify_attributes(attr_norm)
+        if n_rows > x_np.shape[0]:
+            x_np = np.pad(x_np, ((0, n_rows - x_np.shape[0]), (0, 0)))
+        # ``x_dtype`` stores ONLY the attribute matrix in a lower
+        # precision (bfloat16 halves the dominant n×f HBM traffic: the
+        # train-forward dropout copy, the first-layer dot reads in
+        # forward/backward, and the eval forward) while parameters, Adam
+        # state, activations past layer 1, and the propagation stay at
+        # ``dtype`` — see models/appnp.py mlp_forward's mixed-precision
+        # dot.
+        x = jnp.asarray(x_np, dtype=x_dtype or dtype)
+        if hasattr(propagator, "input_sharding"):
+            x = jax.device_put(x, propagator.input_sharding())
 
     idx_train = jnp.asarray(idx_train_np)
     idx_stop = jnp.asarray(idx_stop_np)
@@ -435,6 +466,7 @@ def train_model(
         }
     nepochs = last_epoch + 1
     result.update(
+        x_format="sparse" if use_sparse else "dense",
         runtime=runtime,
         runtime_perepoch=runtime / max(nepochs, 1),
         chunk_times=chunk_times,

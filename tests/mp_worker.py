@@ -9,6 +9,12 @@ Modes:
 - ``sharded``: row-sharded APPNP propagation over the 2-process mesh,
   checked against the host scipy oracle (boundary all_to_all crosses a
   real process boundary here).
+- ``sharded_pallas``: the same check through the sharded pair-chunk
+  kernel path (interior+boundary per-shard packings, interpret mode on
+  CPU), plus a train-mode grad so the custom VJP and the id-keyed
+  edge-dropout masks run under REAL multi-controller jax.distributed —
+  exactly the machinery that can work single-process and die
+  cross-process.
 - ``fault``: process 1 dies abruptly after the first healthy heartbeat;
   process 0 must detect the dead peer (bounded heartbeat → exception or
   watchdog timeout) and exit with the fail-fast code 3.
@@ -64,10 +70,11 @@ def main_fault():
         os._exit(3)
 
 
-def main_sharded():
+def main_sharded(backend="xla"):
     from ppnp_tpu.data.synthetic import make_attributed_sbm
     from ppnp_tpu.ops.normalize import calc_A_hat
-    from ppnp_tpu.parallel.partition import build_sharded_graph
+    from ppnp_tpu.parallel.partition import (build_sharded_graph,
+                                             build_sharded_pair_chunks)
     from ppnp_tpu.parallel.sharded import ShardedPowerIteration
 
     g = make_attributed_sbm(300, 3, 32, 1200, seed=5).standardize()
@@ -80,12 +87,28 @@ def main_sharded():
         return jax.make_array_from_callback(arr.shape, sharding,
                                             lambda idx: arr[idx])
 
+    pc = pc_t = w_perm = None
+    if backend == "pallas":
+        # Deterministic host-side packing (identical on every process);
+        # globalize each stacked leaf so shard_map hands every device its
+        # own slice. Reduced unroll geometry — XLA:CPU compile cost, same
+        # rationale as dryrun_multichip.
+        pc, pc_t, w_perm = build_sharded_pair_chunks(
+            sg, use_native="never", chunk=8, seg_per_mid=8,
+            mids_per_step=4)
+        globalize = lambda tree: jax.tree.map(  # noqa: E731
+            lambda x: put(x, P(NODE_AXIS)), tree)
+        pc, pc_t, w_perm = globalize(pc), globalize(pc_t), \
+            globalize(w_perm)
+
     # Globalize the stacked per-shard arrays: each process owns its row.
     sg = sg.replace(
         dst=put(sg.dst, P(NODE_AXIS)), src=put(sg.src, P(NODE_AXIS)),
         src_global=put(sg.src_global, P(NODE_AXIS)),
         w=put(sg.w, P(NODE_AXIS)), send_idx=put(sg.send_idx, P(NODE_AXIS)))
-    prop = ShardedPowerIteration(graph=sg, mesh=mesh, alpha=0.1, niter=5)
+    prop = ShardedPowerIteration(graph=sg, mesh=mesh, alpha=0.1, niter=5,
+                                 pair_chunks=pc, pair_chunks_t=pc_t,
+                                 w_perm=w_perm, backend=backend)
 
     rng = np.random.RandomState(0)
     h0 = rng.randn(sg.n_pad, 8).astype(np.float32)
@@ -104,10 +127,27 @@ def main_sharded():
     print(f"proc {pid} sharded_err {err:.2e}", flush=True)
     assert err < 1e-4, err
 
+    if backend == "pallas":
+        # Train-mode grad: custom VJP through the per-shard transpose
+        # packings + id-keyed dropout masks, under real multi-controller
+        # collectives (the all_to_all cotangent crosses processes).
+        def loss(h, p, k):
+            return jnp.sum(p(h, train=True, key=k) ** 2)
+
+        lv, gh = jax.jit(jax.value_and_grad(loss, argnums=0))(
+            h0_g, prop, jax.random.PRNGKey(2))
+        gn = jax.jit(lambda x: jnp.vdot(x, x))(gh)
+        lv, gn = float(lv), float(gn)
+        assert np.isfinite(lv) and np.isfinite(gn) and gn > 0.0, (lv, gn)
+        print(f"proc {pid} pallas_grad_ok loss={lv:.4f} gnorm2={gn:.4f}",
+              flush=True)
+
 
 if mode == "fault":
     main_fault()
 elif mode == "sharded":
     main_sharded()
+elif mode == "sharded_pallas":
+    main_sharded(backend="pallas")
 else:
     raise SystemExit(f"unknown mode {mode}")

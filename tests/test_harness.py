@@ -372,6 +372,63 @@ def test_bench_measure_once_progressive_emit(monkeypatch, capsys):
     assert line["value"] == 0.0 and "error" in line
 
 
+def test_bench_upgrade_basis(monkeypatch, capsys):
+    """A provisional (recorded-healthy-XLA) headline is upgraded to a
+    measured ratio by an XLA-only child when budget remains — and left
+    alone when the budget is spent, the child fails, or the basis is
+    already measured (VERDICT r2 item 7)."""
+    import bench
+
+    prov = {"metric": "appnp_propagation_steps_per_s", "value": 4000.0,
+            "tier": 0, "vs_baseline": 9.07,
+            "vs_baseline_basis": "recorded_healthy_xla"}
+
+    calls = []
+
+    def runner(tier, timeout):
+        calls.append((tier, timeout))
+        return 500.0
+
+    up = bench.upgrade_basis(dict(prov), remaining_s=10_000, runner=runner)
+    assert calls == [(0, bench.TIERS[0]["timeout"])]
+    assert up["vs_baseline_basis"] == "measured"
+    assert up["vs_baseline"] == pytest.approx(8.0)
+    assert up["xla_arm_steps_per_s"] == 500.0
+    assert up["xla_arm_window"] == "separate_child"
+
+    # No budget left → untouched provisional line.
+    up = bench.upgrade_basis(dict(prov), remaining_s=10.0, runner=runner)
+    assert up["vs_baseline_basis"] == "recorded_healthy_xla"
+
+    # Child fails → untouched.
+    up = bench.upgrade_basis(dict(prov), remaining_s=10_000,
+                             runner=lambda t, to: None)
+    assert up["vs_baseline_basis"] == "recorded_healthy_xla"
+
+    # Already measured → runner never called.
+    measured = dict(prov, vs_baseline_basis="measured")
+    calls.clear()
+    assert bench.upgrade_basis(measured, 10_000, runner=runner) is measured
+    assert calls == []
+
+    # End-to-end through main(): child 1 returns ONLY a provisional
+    # pallas line at a healthy value; the orchestrator must then run the
+    # XLA-only child (scripted second) and ship a measured basis.
+    import subprocess as sp  # noqa: F401
+
+    healthy = bench.TIERS[0]["healthy"]
+    script = [_bench_line(healthy * 1.01, basis="recorded_healthy_xla")
+              for _ in bench.ATTEMPT_PLAN]
+    _patch_bench(monkeypatch, bench, script)
+    monkeypatch.setattr(bench, "_run_xla_child",
+                        lambda tier, timeout: healthy / 10.0)
+    assert bench.main() == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["vs_baseline_basis"] == "measured"
+    assert line["vs_baseline"] == pytest.approx(10.1, abs=0.01)
+    assert line["xla_arm_window"] == "separate_child"
+
+
 def test_bench_orchestrator_fallback_tier(monkeypatch, capsys):
     """When tier 0 never yields a number, a fallback tier's line is
     reported (flagged with fallback_tier) instead of 0.0."""

@@ -52,6 +52,20 @@ def test_multiprocess_sharded_propagation():
 
 
 @pytest.mark.slow
+def test_multiprocess_sharded_pallas():
+    """The sharded pair-chunk kernel path (custom VJP + id-keyed edge
+    dropout inside shard_map) under REAL multi-controller
+    jax.distributed — the class of machinery that can pass
+    single-process and fail cross-process."""
+    outs = _launch("sharded_pallas", port=53413, timeout=480)
+    for rc, out in outs:
+        assert "heartbeat_ok" in out, out
+        assert rc == 0, out
+        assert "sharded_err" in out, out
+        assert "pallas_grad_ok" in out, out
+
+
+@pytest.mark.slow
 def test_multiprocess_fault_detection():
     """Kill one process mid-run; the survivor must fail fast (exit 3)."""
     outs = _launch("fault", port=53412, timeout=300)
