@@ -195,7 +195,8 @@ def _cmd_bench_inner(args) -> int:
     elif args.blocked_scale:
         from ppnp_tpu.benchmarks import bench_blocked
         res = bench_blocked(n_nodes=args.blocked_nodes, c=args.c,
-                            niter=args.niter, iters=args.iters)
+                            niter=args.niter, iters=args.iters,
+                            layout=args.layout)
     elif args.scaling:
         if args.layout == "auto":
             # Per-shard auto-tuning would pick divergent static

@@ -219,6 +219,7 @@ def bench_blocked(
     iters: int = 3,
     rows_per_block: int = 16384,
     seed: int = 0,
+    layout: str = "banded",
 ) -> Dict:
     """XLA vs blocked HBM-streaming propagation on a VMEM-exceeding graph.
 
@@ -259,7 +260,11 @@ def bench_blocked(
         if backend == "blocked":
             pc = build_blocked_pair_chunks(
                 a_hat, rows_per_block=rows_per_block, reorder=None,
-                with_adjoint=False)
+                with_adjoint=False, c=c,
+                geometry=("auto" if layout == "auto" else None))
+            result["geometry"] = {
+                "window": pc.pcs.window, "window_src": pc.pcs.window_src,
+                "chunk": pc.pcs.chunk, "seg_per_mid": pc.pcs.seg_per_mid}
             prop = PPRPowerIteration(edges=None, pair_chunks=pc,
                                      alpha=0.1, niter=niter,
                                      backend="blocked")
@@ -556,31 +561,72 @@ def bench_retrieval(
     n_queries: int = 1024,
     iters: int = 30,
     seed: int = 0,
+    table_source: str = "trained",
+    train_epochs: int = 50,
 ) -> Dict:
     """Top-k retrieval throughput over the node-embedding table.
 
-    Measures both the single-device ``retrieve_topk`` and the
-    mesh-sharded ``retrieve_topk_sharded`` (local top-k + small
-    all_gather merge — BASELINE.json:11) on whatever devices exist.
+    ``table_source="trained"`` (default) runs the one-command production
+    story — a quick train (``train_epochs`` epochs, XLA backend) whose
+    propagated hidden activations become the table via
+    ``build_embedding_table`` (VERDICT r2 item 8); ``"random"`` keeps
+    the old randn table (throughput-identical, zero train cost).
+    Queries are perturbed table rows, so top-1 self-retrieval doubles
+    as a sanity check on the trained path.
+
+    Measures three paths on whatever devices exist: single-device
+    ``retrieve_topk``; ``retrieve_topk_sharded`` (replicated queries,
+    all_gather merge — BASELINE.json:11); ``retrieve_topk_qsharded``
+    (queries sharded P(axis), transposed all_to_all merge — the
+    many-query regime).
     """
-    from ppnp_tpu.retrieval import retrieve_topk, retrieve_topk_sharded
+    from ppnp_tpu.retrieval import (retrieve_topk, retrieve_topk_qsharded,
+                                    retrieve_topk_sharded)
     from ppnp_tpu.parallel.mesh import make_mesh
 
     cfg = RunConfig(dataset=dataset)
     graph = load_graph(cfg)
     n = graph.num_nodes()
     rng = np.random.RandomState(seed)
-    table = jnp.asarray(rng.randn(n, d).astype(np.float32))
-    q = jnp.asarray(rng.randn(n_queries, d).astype(np.float32))
-
     result: Dict = {"dataset": dataset, "n": n, "d": d, "k": k,
-                    "n_queries": n_queries,
+                    "n_queries": n_queries, "table_source": table_source,
                     "device": str(jax.devices()[0]), "paths": {}}
+    if table_source == "trained":
+        from ppnp_tpu.builders import build_propagator, train_kwargs
+        from ppnp_tpu.retrieval import build_embedding_table
+        from ppnp_tpu.train import train_model
+        tcfg = RunConfig(dataset=dataset, backend="xla", hidden=(d,),
+                         max_epochs=train_epochs, patience=train_epochs,
+                         test=True)
+        from ppnp_tpu import preprocessing
+        from ppnp_tpu.train import _densify_attributes
+        prop = build_propagator(tcfg, graph)
+        params, res = train_model(graph, prop, **train_kwargs(tcfg))
+        x = jnp.asarray(_densify_attributes(
+            preprocessing.normalize_attributes(graph.attr_matrix)))
+        table = build_embedding_table(params, x, prop, level="hidden")
+        result["train"] = {"epochs": train_epochs,
+                           "valtest_accuracy": res["valtest"]["accuracy"]}
+    elif table_source == "random":
+        table = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    else:
+        raise ValueError(f"unknown table_source {table_source!r}")
+    # Queries: noisy table rows (trained tables are anisotropic — scoring
+    # them with matched queries is the honest workload, and self-
+    # retrieval sanity-checks the trained path end to end).
+    q_src = rng.randint(0, n, n_queries)
+    q = table[q_src] + 0.01 * jnp.asarray(
+        rng.randn(n_queries, d).astype(np.float32))
+    q = jax.device_put(q)
 
     f = jax.jit(lambda qq: retrieve_topk(qq, table, k=k))
     t = _time(f, q, iters=iters)
     result["paths"]["single"] = {"seconds": t,
                                  "queries_per_s": n_queries / t}
+    if table_source == "trained":
+        _, idx = jax.block_until_ready(f(q))
+        self_hit = float(np.mean(np.asarray(idx[:, 0]) == q_src))
+        result["self_retrieval_top1"] = self_hit
 
     nd = jax.device_count()
     mesh = make_mesh(n_devices=nd)
@@ -591,4 +637,11 @@ def bench_retrieval(
     t = _time(fs, q, iters=iters)
     result["paths"][f"sharded_{nd}dev"] = {
         "seconds": t, "queries_per_s": n_queries / t}
+
+    q_pad = n_queries - (n_queries % nd) or nd
+    fq = jax.jit(lambda qq: retrieve_topk_qsharded(
+        qq, table_pad, k=k, mesh=mesh, n_valid=n))
+    t = _time(fq, q[:q_pad], iters=iters)
+    result["paths"][f"qsharded_{nd}dev"] = {
+        "seconds": t, "queries_per_s": q_pad / t}
     return result

@@ -105,12 +105,12 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
             # HBM-streaming row blocks for graphs whose H outgrows VMEM
             # on one chip (ppnp_tpu.kernels.blocked).
             from ppnp_tpu.kernels.blocked import build_blocked_pair_chunks
-            _, geo, aperm = _resolve_layout(cfg, a_hat)
-            reorder_kw = ({"perm": aperm, "reorder": None}
-                          if aperm is not None else {})
+            # layout="auto" tunes geometry INSIDE the blocked builder, on
+            # a representative (rows_per_block × hw) block sub-operator —
+            # the shape the packer actually sees — not the full matrix.
             pc = build_blocked_pair_chunks(
-                a_hat, rows_per_block=cfg.rows_per_block, **reorder_kw,
-                **geo)
+                a_hat, rows_per_block=cfg.rows_per_block,
+                geometry=("auto" if cfg.layout == "auto" else None))
             logger.info("blocked: %d blocks of %d rows, H window %d",
                         pc.n_blocks, pc.rows_per_block, pc.hw)
         return PPRPowerIteration(

@@ -80,6 +80,8 @@ def build_blocked_pair_chunks(
     reorder: Optional[str] = "rcm",
     perm: Optional[np.ndarray] = None,
     with_adjoint: bool = True,
+    geometry: Optional[str] = None,
+    c: int = 128,
     **pack_kwargs,
 ) -> BlockedPairChunks:
     """Split a square Â into row blocks and pack each banded operator.
@@ -89,6 +91,16 @@ def build_blocked_pair_chunks(
     degenerate to n and the point of blocking is lost.
     ``pack_kwargs`` forward to ``pair_chunks_banded`` (window geometry,
     edge_ids, use_native, ...).
+
+    ``geometry="auto"`` runs the issue-cost model
+    (``ppnp_tpu.ops.pairchunks.select_geometry``) on ONE representative
+    block sub-operator — the actual (rows_per_block × hw) rectangular
+    shape the packer sees, not the full matrix — and pins the pick for
+    every block. After RCM the blocks share one bandwidth-bounded shape,
+    so one pick per graph suffices; the middle block is used (first/last
+    blocks have clipped bands). ``c`` is the feature width of the H
+    operand (the model's lane-tile term). Explicit geometry kwargs in
+    ``pack_kwargs`` override the model's pick.
     """
     from ppnp_tpu.ops.pairchunks import (_resolve_perm, pair_chunks_banded,
                                          pad_stack_pair_chunks,
@@ -135,6 +147,28 @@ def build_blocked_pair_chunks(
     hw = min(round_up_to_multiple(max(spans), 8), n_pad)
     col_lo = np.asarray([min(lo, n_pad - hw) for lo in lo_list],
                         dtype=np.int32)
+
+    if geometry == "auto":
+        from ppnp_tpu.ops.pairchunks import select_geometry
+        nnz_per_block = np.asarray([sub.nnz for sub in subs])
+        # Middle-most block among those within 2x of the densest: shape-
+        # representative (unclipped band) without being an empty outlier.
+        dense_enough = np.flatnonzero(nnz_per_block >= nnz_per_block.max()
+                                      / 2)
+        b0 = int(dense_enough[len(dense_enough) // 2])
+        a_b0 = sp.coo_matrix(
+            (subs[b0].data, (subs[b0].row, subs[b0].col - col_lo[b0])),
+            shape=(r, hw)).tocsr()
+        geo = select_geometry(
+            a_b0, c=c, mids_per_step=pack_kwargs.get("mids_per_step", 16))
+        geo.pop("cost")
+        for k in tuple(geo):
+            if k in pack_kwargs:
+                geo.pop(k)  # explicit kwargs win
+        pack_kwargs.update(geo)
+    elif geometry is not None:
+        raise ValueError(f"unknown geometry {geometry!r} (use 'auto' or "
+                         "explicit pack kwargs)")
 
     pack_kwargs.setdefault("device", False)
     pack_kwargs.setdefault("use_native", "auto")

@@ -29,7 +29,7 @@ from ppnp_tpu.models.appnp import mlp_forward
 from ppnp_tpu.parallel.mesh import NODE_AXIS
 
 __all__ = ["build_embedding_table", "retrieve_topk",
-           "retrieve_topk_sharded"]
+           "retrieve_topk_sharded", "retrieve_topk_qsharded"]
 
 
 def build_embedding_table(params, x: jnp.ndarray, propagator,
@@ -99,4 +99,63 @@ def retrieve_topk_sharded(queries: jnp.ndarray, table: jnp.ndarray,
         shard_fn, mesh=mesh,
         in_specs=(P(), P(axis, None)),
         out_specs=(P(), P()), check_vma=False)
+    return f(queries, table)
+
+
+def retrieve_topk_qsharded(queries: jnp.ndarray, table: jnp.ndarray,
+                           k: int, mesh, axis: str = NODE_AXIS,
+                           n_valid: Optional[int] = None,
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Many-query retrieval: queries AND results sharded over the mesh.
+
+    ``retrieve_topk_sharded`` replicates the queries and the merged
+    result — right for few queries, wasteful for a large batch: its
+    all_gather moves q·k·n_shards candidates to EVERY device and every
+    device redundantly merges all of them. This path keeps the query
+    batch sharded ``P(axis, None)`` end-to-end with a TRANSPOSED merge:
+
+    1. all_gather the (small, d-wide) query shards so each shard can
+       score the full batch against its local table rows — comm q·d;
+    2. local top-k per shard over its rows, for all q queries;
+    3. ``all_to_all`` the (q, k) candidate block along the query axis —
+       shard i receives every shard's candidates for ITS q/n_shards
+       queries (comm q·k per device, independent of n_shards);
+    4. each shard merges only its own query block.
+
+    Returns (scores, indices) sharded ``P(axis, None)``; ``q`` must be
+    divisible by ``n_shards``. Per-device merge compute and result
+    memory drop by n_shards vs the replicated path.
+    """
+    n_shards = mesh.shape[axis]
+    shard_rows = table.shape[0] // n_shards
+    if queries.shape[0] % n_shards:
+        raise ValueError(f"query count {queries.shape[0]} not divisible "
+                         f"by n_shards={n_shards}")
+    if n_valid is None:
+        n_valid = table.shape[0]
+
+    def shard_fn(q_loc, t_loc):
+        me = jax.lax.axis_index(axis)
+        q_all = jax.lax.all_gather(q_loc, axis, axis=0, tiled=True)
+        scores = jnp.dot(q_all, t_loc.T,
+                         preferred_element_type=jnp.float32)  # (q, S)
+        row_ids = me * shard_rows + jnp.arange(shard_rows)
+        scores = jnp.where(row_ids[None, :] < n_valid, scores, -jnp.inf)
+        loc_s, loc_i = jax.lax.top_k(scores, k)          # (q, k)
+        glob_i = loc_i + me * shard_rows
+        # Transposed merge: split the query axis, concatenate the
+        # candidate axis — shard i ends with (q/nd, nd·k) candidates
+        # for exactly its own query block.
+        mrg_s = jax.lax.all_to_all(loc_s, axis, split_axis=0,
+                                   concat_axis=1, tiled=True)
+        mrg_i = jax.lax.all_to_all(glob_i, axis, split_axis=0,
+                                   concat_axis=1, tiled=True)
+        best_s, pos = jax.lax.top_k(mrg_s, k)
+        best_i = jnp.take_along_axis(mrg_i, pos, axis=1)
+        return best_s, best_i
+
+    f = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)), check_vma=False)
     return f(queries, table)

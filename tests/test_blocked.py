@@ -212,3 +212,38 @@ def test_blocked_end_to_end_training():
     assert 0.0 <= res["early_stopping"]["accuracy"] <= 1.0
     assert res["valtest"]["accuracy"] > 0.3  # learned something in 8 epochs
     assert np.isfinite(res["runtime"])
+
+
+def test_blocked_auto_geometry_matches_scipy(graph_setup):
+    """geometry="auto" tunes on a representative block sub-operator and
+    the pick must (a) be a valid packing — forward matches scipy — and
+    (b) differ from nothing: the model runs on the (r × hw) block shape
+    the packer sees (VERDICT r2 item 6)."""
+    a, h = graph_setup
+    n = a.shape[0]
+    bpc = build_blocked_pair_chunks(a, rows_per_block=256,
+                                    geometry="auto", c=8,
+                                    use_native="never")
+    assert bpc.n_blocks > 1
+    hp = _pack_input(bpc, h)
+    with mock.patch.object(spmm_mod, "spmm_pair_chunks", interp):
+        out = spmm_blocked(bpc, hp)
+    np.testing.assert_allclose(_unpack_output(bpc, out, n), a @ h,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_blocked_auto_geometry_explicit_override(graph_setup):
+    """Explicit pack kwargs override the per-block model's pick."""
+    a, _ = graph_setup
+    bpc = build_blocked_pair_chunks(a, rows_per_block=256,
+                                    geometry="auto", chunk=8,
+                                    with_adjoint=False,
+                                    use_native="never")
+    assert bpc.pcs.chunk == 8
+
+
+def test_blocked_unknown_geometry_rejected(graph_setup):
+    a, _ = graph_setup
+    with pytest.raises(ValueError, match="unknown geometry"):
+        build_blocked_pair_chunks(a, rows_per_block=256,
+                                  geometry="fastest")
