@@ -467,7 +467,8 @@ def bench_exact(
     eval-mode forward Π[idx] @ H at the training |idx| scale, (3) the
     train-mode forward (dropout on the selected rows).
     """
-    from ppnp_tpu.ops.exact import PPRExact
+    from ppnp_tpu.ops.exact import (PPRExact, _NEWTON_MIN_N,
+                                    calc_ppr_exact, newton_schulz_iters)
 
     cfg = RunConfig(dataset=dataset, propagation="exact")
     graph = load_graph(cfg)
@@ -475,17 +476,30 @@ def bench_exact(
     alpha = resolve_alpha(cfg)
     n = a_hat.shape[0]
     n_classes = int(np.asarray(graph.labels).max()) + 1
-    a_dense = jnp.asarray(np.asarray(a_hat.todense(), dtype=np.float32))
+    a_dense = np.asarray(a_hat.todense(), dtype=np.float32)
 
-    @jax.jit
-    def solve(a):
-        eye = jnp.eye(n, dtype=jnp.float32)
-        return jnp.linalg.solve(eye - (1.0 - alpha) * a, alpha * eye)
-
-    # iters=2 bounds the fresh-operand copies: at n=19.7k each variant
-    # is 1.5GB and the LU needs its own workspace inside 16GB HBM.
-    t_solve = _time(solve, a_dense, iters=2)
-    ppr = solve(a_dense)
+    # calc_ppr_exact's auto dispatch: XLA LU below the Newton threshold,
+    # Newton-Schulz (matmul-only — XLA:TPU LU fails to compile at
+    # PubMed scale) above it. Time the whole construction.
+    method = "newton" if n >= _NEWTON_MIN_N else "solve"
+    t0 = time.perf_counter()
+    ppr = calc_ppr_exact(a_dense, alpha, method=method)
+    _sync(ppr)  # block_until_ready lies on large programs (see _sync)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ppr2 = calc_ppr_exact(a_dense, alpha, method=method)
+    _sync(ppr2)
+    t_solve = time.perf_counter() - t0
+    del ppr2
+    # Independent residual on 512 sampled columns: (Π/α)·M[:, cols]
+    # must be I[:, cols] (M symmetric SPD, M⁻¹ symmetric).
+    cols = np.random.RandomState(1).choice(n, min(512, n), replace=False)
+    m_cols = -(1.0 - alpha) * a_dense[:, cols]
+    m_cols[cols, np.arange(len(cols))] += 1.0
+    i_cols = np.zeros_like(m_cols)
+    i_cols[cols, np.arange(len(cols))] = 1.0
+    resid = float(jnp.abs((ppr / alpha) @ jnp.asarray(m_cols)
+                          - jnp.asarray(i_cols)).max())
     prop = PPRExact(ppr=ppr, drop_prob=0.5)
 
     rng = np.random.RandomState(0)
@@ -502,7 +516,12 @@ def bench_exact(
         "dataset": dataset, "n": n, "alpha": alpha,
         "n_classes": n_classes, "idx_size": idx_size,
         "ppr_bytes": int(n) * int(n) * 4,
+        "method": method,
+        "newton_iters": (newton_schulz_iters(alpha)
+                         if method == "newton" else None),
         "solve_s": t_solve,
+        "solve_first_s": t_first,
+        "residual_max": resid,
         "eval_forward_s": t_eval,
         "train_forward_s": t_train,
         "device": str(jax.devices()[0]),

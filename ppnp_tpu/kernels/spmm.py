@@ -69,7 +69,7 @@ _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
                  h_ref, *rest,
                  window, window_src, chunk, seg_per_mid, mids_per_step,
-                 has_init, align, operand_dtype=jnp.float32):
+                 has_init, align):
     if has_init:
         init_ref, out_ref, cbuf = rest
     else:
@@ -96,33 +96,28 @@ def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
             w = e_w_ref[:, s:s + 1]               # (CHUNK, 1)
             e = jnp.where(cols_e == src, w, 0.0)  # (CHUNK, W_src)
             hs = h_ref[pl.ds(bs, window_src), :]  # (W_src, c)
-            cm = jnp.dot(e.astype(operand_dtype), hs.astype(operand_dtype),
-                         preferred_element_type=jnp.float32)
-            cbuf[j * chunk:(j + 1) * chunk, :] = cm.astype(cbuf.dtype)
+            cm = jnp.dot(e, hs, preferred_element_type=jnp.float32)
+            cbuf[j * chunk:(j + 1) * chunk, :] = cm
 
         bd = pl.multiple_of(mid_bd_ref[pid * mids_per_step + m],
                             align or window)
         dloc = e_dst_ref[m:m + 1, :]              # (1, MID), static sublane
-        d_t = jnp.where(rows_d == dloc,           # (W, MID)
-                        jnp.array(1.0, operand_dtype),
-                        jnp.array(0.0, operand_dtype))
-        contrib = jnp.dot(d_t, cbuf[:].astype(operand_dtype),
+        d_t = jnp.where(rows_d == dloc, 1.0, 0.0)  # (W, MID)
+        contrib = jnp.dot(d_t, cbuf[:],
                           preferred_element_type=jnp.float32)  # (W, c)
         out_ref[pl.ds(bd, window), :] += contrib
 
 
 @functools.partial(jax.jit,
                    static_argnames=("mids_per_step", "interpret",
-                                    "assume_permuted", "keep_padded",
-                                    "operand_dtype"))
+                                    "assume_permuted", "keep_padded"))
 def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
                      e_w: Optional[jnp.ndarray] = None,
                      init: Optional[jnp.ndarray] = None,
                      mids_per_step: Optional[int] = None,
                      interpret: Optional[bool] = None,
                      assume_permuted: bool = False,
-                     keep_padded: bool = False,
-                     operand_dtype=jnp.float32) -> jnp.ndarray:
+                     keep_padded: bool = False) -> jnp.ndarray:
     """``A @ H (+ init)`` through the Pallas kernel.
 
     - ``e_w`` optionally overrides the packed edge weights (same
@@ -136,12 +131,6 @@ def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
       operands in packed order and permute once outside).
     - ``keep_padded`` returns the full (n_rows_pad, c) accumulator
       (useful when the caller chains steps on padded square operands).
-    - ``operand_dtype``: dtype the one-hot/H/cbuf operands are fed to the
-      MXU in (accumulation stays f32 via preferred_element_type).
-      bfloat16 was measured on v5e and REFUTED as a speedup — the f32
-      dots already run single-pass at DEFAULT precision, so shrinking
-      the operands only adds VPU casts (docs/PERFORMANCE.md); the knob
-      is kept for future hardware where f32 costs multiple passes.
     """
     if e_w is None:
         e_w = pc.e_w
@@ -193,7 +182,7 @@ def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
     kernel = functools.partial(
         _spmm_kernel, window=window, window_src=pc.window_src, chunk=chunk,
         seg_per_mid=spm, mids_per_step=mids_per_step, has_init=has_init,
-        align=align, operand_dtype=operand_dtype)
+        align=align)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # seg_bs, unblocked
@@ -220,7 +209,7 @@ def spmm_pair_chunks(pc: PairChunks, h: jnp.ndarray,
         out_specs=pl.BlockSpec((pc.n_rows_pad, c), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pc.n_rows_pad, c), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((mid, c), operand_dtype)],
+        scratch_shapes=[pltpu.VMEM((mid, c), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             # H, init and out are all fully VMEM-resident; the default
             # scoped limit is 16MB but v5e has 128MB of VMEM.

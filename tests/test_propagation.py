@@ -80,6 +80,39 @@ def test_calc_ppr_exact_oracle():
     np.testing.assert_allclose(ppr, oracle, rtol=1e-4, atol=1e-5)
 
 
+def test_calc_ppr_exact_newton_matches_solve():
+    """Newton–Schulz (the TPU path for paper-scale graphs — XLA:TPU LU
+    fails to compile above n≈8k) must agree with the direct solve to
+    f32 precision: M is SPD with eigs in [α, 2−α] so X₀=I converges
+    quadratically, residual (1−α)^(2^k)."""
+    adj = _random_adj(120, seed=11)
+    a_hat = calc_A_hat(adj)
+    for alpha in (0.1, 0.25):
+        newton = np.asarray(calc_ppr_exact(a_hat, alpha, method="newton"))
+        solve = np.asarray(calc_ppr_exact(a_hat, alpha, method="solve"))
+        np.testing.assert_allclose(newton, solve, rtol=2e-5, atol=2e-6)
+        # Independent residual check: ‖M·(Π/α) − I‖∞ at f32 precision.
+        # (Π rows do NOT sum to 1: Â is the SYMMETRIC normalization,
+        # not the row-stochastic random-walk matrix.)
+        m = np.eye(120, dtype=np.float64) - (1 - alpha) * a_hat.toarray()
+        resid = np.abs(m @ (newton / alpha) - np.eye(120)).max()
+        assert resid < 5e-5, f"Newton residual {resid:.2e}"
+
+
+def test_calc_ppr_exact_auto_dispatch():
+    """auto = solve below the Newton threshold; unknown methods raise."""
+    import pytest
+
+    adj = _random_adj(30, seed=3)
+    a_hat = calc_A_hat(adj)
+    np.testing.assert_allclose(
+        np.asarray(calc_ppr_exact(a_hat, 0.1, method="auto")),
+        np.asarray(calc_ppr_exact(a_hat, 0.1, method="solve")),
+        rtol=1e-6)
+    with pytest.raises(ValueError, match="unknown method"):
+        calc_ppr_exact(a_hat, 0.1, method="lu")
+
+
 def test_power_iteration_converges_to_exact():
     """APPNP → exact PPNP as K→∞ in eval mode (SURVEY.md §3.4 parity)."""
     adj = _random_adj(50, seed=8)
