@@ -183,6 +183,13 @@ def _cmd_bench_inner(args) -> int:
                              epochs=args.epochs,
                              x_dtype=_parse_x_dtype(args),
                              x_format=getattr(args, "x_format", "auto"))
+    elif args.training_breakdown:
+        from ppnp_tpu.benchmarks import bench_training_breakdown
+        res = bench_training_breakdown(
+            dataset=args.dataset, backend=args.backends[0],
+            x_dtype=_parse_x_dtype(args),
+            x_format=getattr(args, "x_format", "auto"),
+            iters=args.iters)
     elif args.retrieval:
         from ppnp_tpu.benchmarks import bench_retrieval
         res = bench_retrieval(dataset=args.dataset)
@@ -361,6 +368,9 @@ def main(argv=None) -> int:
                    choices=["auto", "dense", "sparse"],
                    help="attribute-matrix layout for --training "
                         "(sparse = fc1 through the SpMM kernel)")
+    p.add_argument("--training-breakdown", action="store_true",
+                   help="per-epoch cost decomposition (train step / "
+                        "eval fwd / MLP vs propagation, ms each)")
     p.add_argument("--retrieval", action="store_true",
                    help="top-k retrieval queries/s")
     p.add_argument("--blocked-scale", action="store_true",

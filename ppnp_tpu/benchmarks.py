@@ -453,6 +453,106 @@ def bench_training(
     }
 
 
+def bench_training_breakdown(
+    dataset: str = "ms_academic",
+    backend: str = "pallas",
+    x_format: str = "auto",
+    x_dtype=None,
+    iters: int = 30,
+) -> Dict:
+    """Per-epoch cost decomposition: where does the epoch time go?
+
+    Times each component of the reference's per-epoch unit of work
+    (SURVEY.md §3.1) as an independent jitted function: the training
+    step (loss fwd + backward + Adam), the stopping-set eval forward,
+    and their sub-parts (MLP tower vs K-step propagation, each in train
+    and eval mode). Components overlap — e.g. ``grad_step`` contains
+    ``fwd_loss`` — so the table reads as a containment hierarchy, not a
+    partition; ``train_step + eval_fwd`` should approximate the
+    steady-state epoch time measured by ``bench_training``.
+    """
+    import optax
+    from ppnp_tpu.builders import build_propagator
+    from ppnp_tpu.models.appnp import (init_mlp_params, l2_reg,
+                                       mlp_forward, ppnp_forward)
+    from ppnp_tpu.ops.sparse_input import SparseInput
+    from ppnp_tpu.train import (_nll, default_idx_split_args,
+                                prepare_attr_input)
+    from ppnp_tpu import preprocessing
+
+    cfg = RunConfig(dataset=dataset, propagation="power", backend=backend)
+    graph = load_graph(cfg)
+    prop = build_propagator(cfg, graph)
+    x = prepare_attr_input(graph, prop, x_format=x_format, x_dtype=x_dtype)
+
+    labels_np = np.asarray(graph.labels)
+    n_classes = int(labels_np.max()) + 1
+    idx_train_np, idx_stop_np, _ = preprocessing.gen_splits(
+        labels_np, dict(default_idx_split_args), test=False)
+    idx_train = jnp.asarray(idx_train_np)
+    idx_stop = jnp.asarray(idx_stop_np)
+    y_train = jnp.asarray(labels_np[idx_train_np])
+    y_stop = jnp.asarray(labels_np[idx_stop_np])
+
+    n_feat = x.shape[1]
+    params = init_mlp_params(jax.random.PRNGKey(0), n_feat, [64], n_classes)
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(params)
+    key = jax.random.PRNGKey(42)
+    drop_prob, reg_lambda = 0.5, 5e-3
+
+    # Every timed function takes params' fc1 weight as its FIRST arg so
+    # `_time`'s fresh-buffer perturbation applies (it perturbs arg 0).
+    w1, w_rest = params[0], params[1:]
+
+    def loss_fn(p):
+        logp = ppnp_forward(p, x, prop, idx_train, key=key, train=True,
+                            drop_prob=drop_prob)
+        return _nll(logp, y_train) + (reg_lambda / 2.0) * l2_reg(p)
+
+    fwd_loss = jax.jit(lambda w: loss_fn([w, *w_rest]))
+    grad_step = jax.jit(lambda w: jax.value_and_grad(loss_fn)([w, *w_rest]))
+
+    def _train_step(w):
+        loss, grads = jax.value_and_grad(loss_fn)([w, *w_rest])
+        updates, new_opt = optimizer.update(grads, opt_state)
+        return optax.apply_updates([w, *w_rest], updates), new_opt, loss
+
+    train_step = jax.jit(_train_step)
+    eval_fwd = jax.jit(lambda w: _nll(
+        ppnp_forward([w, *w_rest], x, prop, idx_stop, train=False), y_stop))
+    mlp_train = jax.jit(lambda w: mlp_forward(
+        [w, *w_rest], x, key=key, train=True, drop_prob=drop_prob))
+    mlp_eval = jax.jit(lambda w: mlp_forward([w, *w_rest], x, train=False))
+
+    h_local = np.asarray(mlp_eval(w1))
+    h_dev = jnp.asarray(h_local)
+    prop_train = jax.jit(lambda h: prop(h, idx_train, key=key, train=True))
+    prop_eval = jax.jit(lambda h: prop(h, idx_stop, train=False))
+
+    comps = {
+        "train_step": (train_step, w1),
+        "grad_step": (grad_step, w1),
+        "fwd_loss": (fwd_loss, w1),
+        "eval_fwd": (eval_fwd, w1),
+        "mlp_fwd_train": (mlp_train, w1),
+        "mlp_fwd_eval": (mlp_eval, w1),
+        "prop_fwd_train": (prop_train, h_dev),
+        "prop_fwd_eval": (prop_eval, h_dev),
+    }
+    out = {}
+    for name, (fn, arg) in comps.items():
+        out[name + "_ms"] = _time(fn, arg, iters=iters) * 1e3
+    out["epoch_estimate_ms"] = out["train_step_ms"] + out["eval_fwd_ms"]
+    out.update(dataset=dataset, backend=backend,
+               x_format=("sparse" if isinstance(x, SparseInput)
+                         else "dense"),
+               x_dtype=str(jnp.dtype(x_dtype or jnp.float32).name),
+               n=int(graph.adj_matrix.shape[0]), n_classes=n_classes,
+               niter=prop.niter, device=str(jax.devices()[0]))
+    return out
+
+
 def bench_exact(
     dataset: str = "pubmed",
     idx_size: int = 500,
@@ -476,25 +576,27 @@ def bench_exact(
     alpha = resolve_alpha(cfg)
     n = a_hat.shape[0]
     n_classes = int(np.asarray(graph.labels).max()) + 1
-    a_dense = np.asarray(a_hat.todense(), dtype=np.float32)
 
     # calc_ppr_exact's auto dispatch: XLA LU below the Newton threshold,
     # Newton-Schulz (matmul-only — XLA:TPU LU fails to compile at
-    # PubMed scale) above it. Time the whole construction.
+    # PubMed scale) above it. Passing Â SPARSE keeps the 4·n² dense
+    # bytes off the tunneled host→device link (exact.py densifies on
+    # device from the COO triplets). Time the whole construction.
     method = "newton" if n >= _NEWTON_MIN_N else "solve"
     t0 = time.perf_counter()
-    ppr = calc_ppr_exact(a_dense, alpha, method=method)
+    ppr = calc_ppr_exact(a_hat, alpha, method=method)
     _sync(ppr)  # block_until_ready lies on large programs (see _sync)
     t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
-    ppr2 = calc_ppr_exact(a_dense, alpha, method=method)
+    ppr2 = calc_ppr_exact(a_hat, alpha, method=method)
     _sync(ppr2)
     t_solve = time.perf_counter() - t0
     del ppr2
     # Independent residual on 512 sampled columns: (Π/α)·M[:, cols]
     # must be I[:, cols] (M symmetric SPD, M⁻¹ symmetric).
     cols = np.random.RandomState(1).choice(n, min(512, n), replace=False)
-    m_cols = -(1.0 - alpha) * a_dense[:, cols]
+    m_cols = np.asarray(
+        -(1.0 - alpha) * a_hat.tocsc()[:, cols].todense(), np.float32)
     m_cols[cols, np.arange(len(cols))] += 1.0
     i_cols = np.zeros_like(m_cols)
     i_cols[cols, np.arange(len(cols))] = 1.0

@@ -25,6 +25,7 @@ and ``PPRExact`` (~L30) — SURVEY.md §3.4. TPU-native changes:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Union
 
@@ -42,6 +43,11 @@ __all__ = ["calc_ppr_exact", "PPRExact"]
 # 2026-08-20); switch to the matmul-only Newton path well below it.
 _NEWTON_MIN_N = 4096
 
+# Above this row count, PPRExact selects Π rows via a one-hot dot
+# instead of gather — the gather's XLA:TPU compile time grows with the
+# row width (minutes at n≈20k), the dot's does not.
+_ONEHOT_SELECT_MIN_N = 8192
+
 
 def newton_schulz_iters(alpha: float, eps: float = 1e-7) -> int:
     """Iterations until the Newton residual (1−α)^(2^k) < eps."""
@@ -58,36 +64,105 @@ def calc_ppr_exact(a_hat: Union[sp.spmatrix, np.ndarray, jnp.ndarray],
     matmul-only — any n, the TPU path), "auto" (newton at n ≥ 4096).
     """
     if sp.issparse(a_hat):
-        a_hat = np.asarray(a_hat.todense())
-    a_hat = jnp.asarray(a_hat, dtype=jnp.float32)
-    n = a_hat.shape[0]
+        # Densify M = I − (1−α)Â ON DEVICE: ship only sparse triplets
+        # (≈12B/nnz) and expand them there. At paper scale the dense Â
+        # is 1.5GB, and the tunneled host→device link moves it in
+        # minutes — while the triplets cross in milliseconds. The
+        # expansion is row-block one-hot MATMULS (scan-of-dots — the
+        # same program shape as the Newton iteration itself): both a
+        # direct ``.at[rows, cols].add`` scatter and a scan-of-
+        # segment_sum take minutes of XLA:TPU compile even at n=4096
+        # (measured 2026-08-20), while dots compile in seconds.
+        n = a_hat.shape[0]
+        m_sp = (sp.identity(n, dtype=np.float32, format="csr")
+                - np.float32(1.0 - alpha) * a_hat.tocsr())
+        m = _dense_from_scipy(m_sp)
+    else:
+        a_hat = jnp.asarray(a_hat, dtype=jnp.float32)
+        n = a_hat.shape[0]
+        m = jnp.eye(n, dtype=jnp.float32) - (1.0 - alpha) * a_hat
     if method == "auto":
         method = "newton" if n >= _NEWTON_MIN_N else "solve"
-    eye = jnp.eye(n, dtype=jnp.float32)
-    m = eye - (1.0 - alpha) * a_hat
     if method == "solve":
-        return jnp.linalg.solve(m, alpha * eye)
+        return jnp.linalg.solve(m, alpha * jnp.eye(n, dtype=jnp.float32))
     if method != "newton":
         raise ValueError(f"unknown method {method!r} "
                          "(expected 'auto', 'solve' or 'newton')")
 
-    iters = newton_schulz_iters(alpha)
+    return _newton_invert(m, jnp.float32(alpha),
+                          iters=newton_schulz_iters(alpha))
 
-    @jax.jit
-    def _invert(m):
-        def step(x, _):
-            # X ← 2X − X(MX); HIGHEST precision: quadratic convergence
-            # is self-correcting but the FINAL iterations' accuracy is
-            # bounded by the matmul rounding, and this is the "exact"
-            # parity path (BASELINE.json:8).
-            mx = jnp.dot(m, x, precision=jax.lax.Precision.HIGHEST)
-            x = 2.0 * x - jnp.dot(x, mx,
-                                  precision=jax.lax.Precision.HIGHEST)
-            return x, None
-        x, _ = jax.lax.scan(step, eye, None, length=iters)
-        return alpha * x
 
-    return _invert(m)
+def _dense_from_scipy(mat: sp.spmatrix, block: int = 256) -> jnp.ndarray:
+    """Expand a scipy sparse matrix to a dense device array, on device.
+
+    Per 256-row block b with S padded triplets (local_row, col, val):
+    ``dense[256b:256(b+1)] = one_hot(local_row).T @ (val·one_hot(col))``
+    — a scan of two iota-compares and one MXU dot per block. Pure-dot
+    programs compile in seconds on this toolchain where scatter /
+    scan-of-segment_sum take minutes (see calc_ppr_exact). HIGHEST
+    precision keeps the expansion EXACT: one_hot entries are 0/1, each
+    output element receives exactly one nonzero product.
+    """
+    csr = mat.tocsr().astype(np.float32)
+    csr.sum_duplicates()
+    n_rows, n_cols = csr.shape
+    nb = -(-n_rows // block)
+    counts = np.diff(csr.indptr)
+    block_counts = np.add.reduceat(
+        counts, np.arange(0, n_rows, block)) if n_rows else np.array([0])
+    s = max(8, int(-(-max(int(block_counts.max()), 1) // 8) * 8))
+    local_r = np.zeros((nb, s), np.int32)
+    cols = np.zeros((nb, s), np.int32)
+    vals = np.zeros((nb, s), np.float32)  # padding: val 0 → contributes 0
+    coo = csr.tocoo()  # CSR→COO is row-major: block rows are contiguous
+    starts = csr.indptr[np.arange(0, n_rows, block)]
+    ends = np.append(csr.indptr[np.arange(block, n_rows, block)], csr.nnz)
+    for b in range(nb):
+        lo, hi = int(starts[b]), int(ends[b])
+        k = hi - lo
+        local_r[b, :k] = coo.row[lo:hi] - b * block
+        cols[b, :k] = coo.col[lo:hi]
+        vals[b, :k] = coo.data[lo:hi]
+    out = _dense_rowblocks(jnp.asarray(local_r), jnp.asarray(cols),
+                           jnp.asarray(vals), block=block, n_cols=n_cols)
+    return out[:n_rows]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "n_cols"))
+def _dense_rowblocks(local_r: jnp.ndarray, cols: jnp.ndarray,
+                     vals: jnp.ndarray, *, block: int,
+                     n_cols: int) -> jnp.ndarray:
+    def body(_, rcv):
+        rr, cc, vv = rcv
+        p = jax.nn.one_hot(rr, block, dtype=jnp.float32)        # (S, block)
+        q = jax.nn.one_hot(cc, n_cols, dtype=jnp.float32) * vv[:, None]
+        rows = jnp.dot(p.T, q, precision=jax.lax.Precision.HIGHEST)
+        return None, rows
+
+    _, blocks = jax.lax.scan(body, None, (local_r, cols, vals))
+    return blocks.reshape(-1, n_cols)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _newton_invert(m: jnp.ndarray, alpha: jnp.ndarray, *,
+                   iters: int) -> jnp.ndarray:
+    """α·M^{-1} via ``iters`` Newton–Schulz steps (module-level so repeat
+    calls at the same (n, iters) hit the jit cache — a fresh closure per
+    call would retrace and recompile every time)."""
+    eye = jnp.eye(m.shape[0], dtype=m.dtype)
+
+    def step(x, _):
+        # X ← 2X − X(MX); HIGHEST precision: quadratic convergence
+        # is self-correcting but the FINAL iterations' accuracy is
+        # bounded by the matmul rounding, and this is the "exact"
+        # parity path (BASELINE.json:8).
+        mx = jnp.dot(m, x, precision=jax.lax.Precision.HIGHEST)
+        x = 2.0 * x - jnp.dot(x, mx, precision=jax.lax.Precision.HIGHEST)
+        return x, None
+
+    x, _ = jax.lax.scan(step, eye, None, length=iters)
+    return alpha * x
 
 
 @struct.dataclass
@@ -105,7 +180,21 @@ class PPRExact:
                  idx: Optional[jnp.ndarray] = None, *,
                  key: Optional[jax.Array] = None,
                  train: bool = False) -> jnp.ndarray:
-        rows = self.ppr if idx is None else jnp.take(self.ppr, idx, axis=0)
+        if idx is None:
+            rows = self.ppr
+        elif self.ppr.shape[0] >= _ONEHOT_SELECT_MIN_N:
+            # Row selection as a one-hot MXU dot: XLA:TPU's gather
+            # compile time explodes with the gathered row width (a
+            # take(Π, idx) at PubMed scale compiles for ~10 minutes on
+            # the remote toolchain; the equivalent dot compiles in
+            # seconds). one_hot rows are exact 0/1, so HIGHEST-precision
+            # selection is bit-exact.
+            onehot = jax.nn.one_hot(idx, self.ppr.shape[0],
+                                    dtype=self.ppr.dtype)
+            rows = jnp.dot(onehot, self.ppr,
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            rows = jnp.take(self.ppr, idx, axis=0)
         if train and self.drop_prob > 0.0 and key is not None:
             rows = dropout(key, rows, self.drop_prob)
         # HIGHEST precision: this is the exact reference path — don't let

@@ -37,10 +37,12 @@ from ppnp_tpu.earlystopping import EarlyStopping, stopping_args as \
     default_stopping_args
 from ppnp_tpu.metrics import JsonlWriter, accuracy, macro_f1
 from ppnp_tpu.models.appnp import (init_mlp_params, l2_reg, ppnp_forward)
+from ppnp_tpu.ops.sparse_input import SparseInput
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["train_model", "get_predictions", "default_idx_split_args"]
+__all__ = ["train_model", "get_predictions", "default_idx_split_args",
+           "prepare_attr_input"]
 
 default_idx_split_args: Dict[str, int] = {
     "ntrain_per_class": 20,
@@ -163,6 +165,64 @@ def _run_chunk(params, opt_state, best, keys, epochs, limit, x,
     return params, opt_state, best, ms
 
 
+def prepare_attr_input(graph: SparseGraph, propagator, *,
+                       x_format: str = "auto", x_dtype=None,
+                       dtype=jnp.float32):
+    """L1-normalize the attribute matrix and stage it for the MLP tower.
+
+    Returns either a dense device array or a packed ``SparseInput``
+    (``ops/sparse_input.py`` — the reference's MixedLinear path,
+    ``ppnp/pytorch/utils.py`` ~L40).
+
+    ``x_format``: "sparse" keeps the attribute matrix sparse and routes
+    fc1 through the pair-chunks SpMM kernel; "dense" densifies (the MXU
+    path); "auto" picks sparse exactly where the densified matrix's
+    HBM streams dominate the epoch: a scipy-sparse X whose dense form
+    is ≥64MB at ≤5% density, on an unsharded propagator. Small graphs
+    stay dense (dispatch-bound; dense fc1 is already cheap there).
+
+    Sharded/padded propagators require H⁰ (hence X) padded to their row
+    count; padding rows are zero and never selected by any idx.
+    """
+    attr_norm = preprocessing.normalize_attributes(graph.attr_matrix)
+    n_rows = getattr(propagator, "n_rows", attr_norm.shape[0])
+    use_sparse = x_format == "sparse"
+    if x_format == "auto":
+        use_sparse = (
+            sp.issparse(attr_norm)
+            and not hasattr(propagator, "input_sharding")
+            and attr_norm.shape[0] * attr_norm.shape[1] >= 16_000_000
+            and attr_norm.nnz <= 0.05 * attr_norm.shape[0]
+            * attr_norm.shape[1])
+    elif x_format not in ("dense", "sparse"):
+        raise ValueError(f"unknown x_format {x_format!r} "
+                         "(expected 'auto', 'dense' or 'sparse')")
+    if use_sparse:
+        if hasattr(propagator, "input_sharding"):
+            raise ValueError("x_format='sparse' is not supported with "
+                             "sharded propagators (the MLP tower is "
+                             "data-parallel over dense X there)")
+        from ppnp_tpu.ops.sparse_input import build_sparse_input
+        if not sp.issparse(attr_norm):
+            attr_norm = sp.csr_matrix(attr_norm)
+        return build_sparse_input(attr_norm, n_rows=max(
+            n_rows, attr_norm.shape[0]))
+    x_np = _densify_attributes(attr_norm)
+    if n_rows > x_np.shape[0]:
+        x_np = np.pad(x_np, ((0, n_rows - x_np.shape[0]), (0, 0)))
+    # ``x_dtype`` stores ONLY the attribute matrix in a lower
+    # precision (bfloat16 halves the dominant n×f HBM traffic: the
+    # train-forward dropout copy, the first-layer dot reads in
+    # forward/backward, and the eval forward) while parameters, Adam
+    # state, activations past layer 1, and the propagation stay at
+    # ``dtype`` — see models/appnp.py mlp_forward's mixed-precision
+    # dot.
+    x = jnp.asarray(x_np, dtype=x_dtype or dtype)
+    if hasattr(propagator, "input_sharding"):
+        x = jax.device_put(x, propagator.input_sharding())
+    return x
+
+
 def train_model(
     graph: SparseGraph,
     propagator,
@@ -210,52 +270,8 @@ def train_model(
     idx_train_np, idx_stop_np, idx_valtest_np = preprocessing.gen_splits(
         labels_np, idx_split_args, test=test)
 
-    attr_norm = preprocessing.normalize_attributes(graph.attr_matrix)
-    # Sharded/padded propagators require H⁰ (hence X) padded to their row
-    # count; padding rows are zero and never selected by any idx.
-    n_rows = getattr(propagator, "n_rows", attr_norm.shape[0])
-    # ``x_format``: "sparse" keeps the attribute matrix sparse and routes
-    # fc1 through the pair-chunks SpMM kernel (the reference's
-    # MixedLinear — ops/sparse_input.py); "dense" densifies (the MXU
-    # path); "auto" picks sparse exactly where the densified matrix's
-    # HBM streams dominate the epoch: a scipy-sparse X whose dense form
-    # is ≥64MB at ≤5% density, on an unsharded propagator. Small graphs
-    # stay dense (dispatch-bound; dense fc1 is already cheap there).
-    use_sparse = x_format == "sparse"
-    if x_format == "auto":
-        use_sparse = (
-            sp.issparse(attr_norm)
-            and not hasattr(propagator, "input_sharding")
-            and attr_norm.shape[0] * attr_norm.shape[1] >= 16_000_000
-            and attr_norm.nnz <= 0.05 * attr_norm.shape[0]
-            * attr_norm.shape[1])
-    elif x_format not in ("dense", "sparse"):
-        raise ValueError(f"unknown x_format {x_format!r} "
-                         "(expected 'auto', 'dense' or 'sparse')")
-    if use_sparse:
-        if hasattr(propagator, "input_sharding"):
-            raise ValueError("x_format='sparse' is not supported with "
-                             "sharded propagators (the MLP tower is "
-                             "data-parallel over dense X there)")
-        from ppnp_tpu.ops.sparse_input import build_sparse_input
-        if not sp.issparse(attr_norm):
-            attr_norm = sp.csr_matrix(attr_norm)
-        x = build_sparse_input(attr_norm, n_rows=max(
-            n_rows, attr_norm.shape[0]))
-    else:
-        x_np = _densify_attributes(attr_norm)
-        if n_rows > x_np.shape[0]:
-            x_np = np.pad(x_np, ((0, n_rows - x_np.shape[0]), (0, 0)))
-        # ``x_dtype`` stores ONLY the attribute matrix in a lower
-        # precision (bfloat16 halves the dominant n×f HBM traffic: the
-        # train-forward dropout copy, the first-layer dot reads in
-        # forward/backward, and the eval forward) while parameters, Adam
-        # state, activations past layer 1, and the propagation stay at
-        # ``dtype`` — see models/appnp.py mlp_forward's mixed-precision
-        # dot.
-        x = jnp.asarray(x_np, dtype=x_dtype or dtype)
-        if hasattr(propagator, "input_sharding"):
-            x = jax.device_put(x, propagator.input_sharding())
+    x = prepare_attr_input(graph, propagator, x_format=x_format,
+                           x_dtype=x_dtype, dtype=dtype)
 
     idx_train = jnp.asarray(idx_train_np)
     idx_stop = jnp.asarray(idx_stop_np)
@@ -466,7 +482,7 @@ def train_model(
         }
     nepochs = last_epoch + 1
     result.update(
-        x_format="sparse" if use_sparse else "dense",
+        x_format="sparse" if isinstance(x, SparseInput) else "dense",
         runtime=runtime,
         runtime_perepoch=runtime / max(nepochs, 1),
         chunk_times=chunk_times,

@@ -478,6 +478,41 @@ def test_bench_blocked_structure():
     assert ("error" in blk) or blk["steps_per_s"] > 0
 
 
+def test_bench_training_breakdown_structure():
+    """Breakdown components exist, are positive, and nest sanely
+    (grad ≥ fwd; train_step ≥ grad) on the CPU XLA backend."""
+    from ppnp_tpu.benchmarks import bench_training_breakdown
+
+    res = bench_training_breakdown(dataset="cora_ml", backend="xla",
+                                   x_format="dense", iters=2)
+    for k in ("train_step_ms", "grad_step_ms", "fwd_loss_ms",
+              "eval_fwd_ms", "mlp_fwd_train_ms", "mlp_fwd_eval_ms",
+              "prop_fwd_train_ms", "prop_fwd_eval_ms",
+              "epoch_estimate_ms"):
+        assert res[k] > 0, k
+    # Containment sanity with generous timing slack (CPU noise):
+    assert res["grad_step_ms"] > 0.3 * res["fwd_loss_ms"]
+    assert res["train_step_ms"] > 0.3 * res["grad_step_ms"]
+    assert res["x_format"] == "dense"
+
+
+def test_exact_newton_module_level_jit_caches():
+    """calc_ppr_exact's Newton path must hit the jit cache on repeat
+    calls at the same (n, iters) — ADVICE r3: a per-call closure would
+    retrace and recompile every time."""
+    import jax
+    from ppnp_tpu.ops.exact import _newton_invert, calc_ppr_exact
+
+    a = np.eye(16, dtype=np.float32) * 0.5
+    before = _newton_invert._cache_size()
+    calc_ppr_exact(a, 0.1, method="newton")
+    mid = _newton_invert._cache_size()
+    calc_ppr_exact(a, 0.1, method="newton")
+    after = _newton_invert._cache_size()
+    assert mid == before + 1
+    assert after == mid  # second call: cache hit, no retrace
+
+
 def test_reproduce_full_table_with_standin_npz(tmp_path, monkeypatch,
                                                small_graph):
     """reproduce's full paper-style table: a real npz placed on
