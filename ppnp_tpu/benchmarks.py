@@ -503,46 +503,52 @@ def bench_training_breakdown(
 
     # Every timed function takes params' fc1 weight as its FIRST arg so
     # `_time`'s fresh-buffer perturbation applies (it perturbs arg 0).
+    # ``x`` and ``prop`` ride as jit ARGUMENTS (both are pytrees):
+    # closing over them would embed the attribute matrix / the packed
+    # operators as inline HLO constants — pathological remote compiles
+    # at dense-X scale (see bench_exact).
     w1, w_rest = params[0], params[1:]
 
-    def loss_fn(p):
-        logp = ppnp_forward(p, x, prop, idx_train, key=key, train=True,
+    def loss_fn(p, xx, pp):
+        logp = ppnp_forward(p, xx, pp, idx_train, key=key, train=True,
                             drop_prob=drop_prob)
         return _nll(logp, y_train) + (reg_lambda / 2.0) * l2_reg(p)
 
-    fwd_loss = jax.jit(lambda w: loss_fn([w, *w_rest]))
-    grad_step = jax.jit(lambda w: jax.value_and_grad(loss_fn)([w, *w_rest]))
+    fwd_loss = jax.jit(lambda w, xx, pp: loss_fn([w, *w_rest], xx, pp))
+    grad_step = jax.jit(
+        lambda w, xx, pp: jax.value_and_grad(loss_fn)([w, *w_rest], xx, pp))
 
-    def _train_step(w):
-        loss, grads = jax.value_and_grad(loss_fn)([w, *w_rest])
+    def _train_step(w, xx, pp):
+        loss, grads = jax.value_and_grad(loss_fn)([w, *w_rest], xx, pp)
         updates, new_opt = optimizer.update(grads, opt_state)
         return optax.apply_updates([w, *w_rest], updates), new_opt, loss
 
     train_step = jax.jit(_train_step)
-    eval_fwd = jax.jit(lambda w: _nll(
-        ppnp_forward([w, *w_rest], x, prop, idx_stop, train=False), y_stop))
-    mlp_train = jax.jit(lambda w: mlp_forward(
-        [w, *w_rest], x, key=key, train=True, drop_prob=drop_prob))
-    mlp_eval = jax.jit(lambda w: mlp_forward([w, *w_rest], x, train=False))
+    eval_fwd = jax.jit(lambda w, xx, pp: _nll(
+        ppnp_forward([w, *w_rest], xx, pp, idx_stop, train=False), y_stop))
+    mlp_train = jax.jit(lambda w, xx: mlp_forward(
+        [w, *w_rest], xx, key=key, train=True, drop_prob=drop_prob))
+    mlp_eval = jax.jit(lambda w, xx: mlp_forward([w, *w_rest], xx,
+                                                 train=False))
 
-    h_local = np.asarray(mlp_eval(w1))
-    h_dev = jnp.asarray(h_local)
-    prop_train = jax.jit(lambda h: prop(h, idx_train, key=key, train=True))
-    prop_eval = jax.jit(lambda h: prop(h, idx_stop, train=False))
+    h_dev = mlp_eval(w1, x)
+    prop_train = jax.jit(
+        lambda h, pp: pp(h, idx_train, key=key, train=True))
+    prop_eval = jax.jit(lambda h, pp: pp(h, idx_stop, train=False))
 
     comps = {
-        "train_step": (train_step, w1),
-        "grad_step": (grad_step, w1),
-        "fwd_loss": (fwd_loss, w1),
-        "eval_fwd": (eval_fwd, w1),
-        "mlp_fwd_train": (mlp_train, w1),
-        "mlp_fwd_eval": (mlp_eval, w1),
-        "prop_fwd_train": (prop_train, h_dev),
-        "prop_fwd_eval": (prop_eval, h_dev),
+        "train_step": (train_step, (w1, x, prop)),
+        "grad_step": (grad_step, (w1, x, prop)),
+        "fwd_loss": (fwd_loss, (w1, x, prop)),
+        "eval_fwd": (eval_fwd, (w1, x, prop)),
+        "mlp_fwd_train": (mlp_train, (w1, x)),
+        "mlp_fwd_eval": (mlp_eval, (w1, x)),
+        "prop_fwd_train": (prop_train, (h_dev, prop)),
+        "prop_fwd_eval": (prop_eval, (h_dev, prop)),
     }
     out = {}
-    for name, (fn, arg) in comps.items():
-        out[name + "_ms"] = _time(fn, arg, iters=iters) * 1e3
+    for name, (fn, args) in comps.items():
+        out[name + "_ms"] = _time(fn, *args, iters=iters) * 1e3
     out["epoch_estimate_ms"] = out["train_step_ms"] + out["eval_fwd_ms"]
     out.update(dataset=dataset, backend=backend,
                x_format=("sparse" if isinstance(x, SparseInput)
@@ -609,10 +615,14 @@ def bench_exact(
     idx = jnp.asarray(rng.choice(n, size=idx_size, replace=False))
     key = jax.random.PRNGKey(0)
 
-    fwd_eval = jax.jit(lambda hh: prop(hh, idx))
-    fwd_train = jax.jit(lambda hh: prop(hh, idx, key=key, train=True))
-    t_eval = _time(fwd_eval, h, iters=iters)
-    t_train = _time(fwd_train, h, iters=iters)
+    # The propagator rides as a jit ARGUMENT (PPRExact is a pytree):
+    # closing over it would embed the n² dense Π as an inline HLO
+    # constant, which the remote compile service takes tens of minutes
+    # to ingest at paper scale (measured 2026-08-20).
+    fwd_eval = jax.jit(lambda hh, p: p(hh, idx))
+    fwd_train = jax.jit(lambda hh, p: p(hh, idx, key=key, train=True))
+    t_eval = _time(fwd_eval, h, prop, iters=iters)
+    t_train = _time(fwd_train, h, prop, iters=iters)
 
     return {
         "dataset": dataset, "n": n, "alpha": alpha,

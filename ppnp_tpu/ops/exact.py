@@ -180,14 +180,29 @@ class PPRExact:
                  idx: Optional[jnp.ndarray] = None, *,
                  key: Optional[jax.Array] = None,
                  train: bool = False) -> jnp.ndarray:
+        apply_drop = bool(train and self.drop_prob > 0.0
+                          and key is not None)
+        large = self.ppr.shape[0] >= _ONEHOT_SELECT_MIN_N
+        if idx is not None and large and not apply_drop:
+            # Eval at paper scale: reassociate to (Π @ H)[idx] — exactly
+            # the same values (no dropout between selection and matmul),
+            # but the select moves to a c-wide gather that XLA:TPU
+            # compiles instantly, where both a row-wide gather and the
+            # one-hot selection dot on the n-wide Π take minutes of
+            # remote compile (measured 2026-08-20 at n=19.6k).
+            z = jnp.dot(self.ppr, h_local,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=h_local.dtype)
+            return jnp.take(z, idx, axis=0)
         if idx is None:
             rows = self.ppr
-        elif self.ppr.shape[0] >= _ONEHOT_SELECT_MIN_N:
-            # Row selection as a one-hot MXU dot: XLA:TPU's gather
-            # compile time explodes with the gathered row width (a
-            # take(Π, idx) at PubMed scale compiles for ~10 minutes on
-            # the remote toolchain; the equivalent dot compiles in
-            # seconds). one_hot rows are exact 0/1, so HIGHEST-precision
+        elif large:
+            # Train-mode selection as a one-hot MXU dot: the reference
+            # applies dropout to the SELECTED Π rows (SURVEY.md §3.4),
+            # so selection must come first here. XLA:TPU's gather
+            # compile time explodes with the gathered row width; the
+            # dot compiles once (minutes, persistently cached) and runs
+            # fast. one_hot rows are exact 0/1, so HIGHEST-precision
             # selection is bit-exact.
             onehot = jax.nn.one_hot(idx, self.ppr.shape[0],
                                     dtype=self.ppr.dtype)
@@ -195,7 +210,7 @@ class PPRExact:
                            precision=jax.lax.Precision.HIGHEST)
         else:
             rows = jnp.take(self.ppr, idx, axis=0)
-        if train and self.drop_prob > 0.0 and key is not None:
+        if apply_drop:
             rows = dropout(key, rows, self.drop_prob)
         # HIGHEST precision: this is the exact reference path — don't let
         # the MXU's fast bf16 passes blur the parity contract

@@ -56,20 +56,36 @@ _ = np.asarray(ppr2[:1, :8])
 # second call genuinely hits the jit cache (steady-state, no recompile).
 log(f"newton solve (steady, incl fetch): {time.perf_counter()-t0:.1f}s")
 
-# Eval-mode exact forward at PubMed scale: Z = Pi[idx] @ H0 (c=3).
+# Eval-mode exact forward at PubMed scale: Z = (Pi @ H0)[idx] (c=3).
+# NB: the propagator must be a jit ARGUMENT (it is a pytree) — closing
+# over it embeds the 1.5GB Pi as an inline HLO constant, which the
+# remote compile service takes tens of minutes to ingest.
 prop = PPRExact(ppr2, drop_prob=0.5)
 rng = np.random.default_rng(0)
 h0 = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
 idx = jnp.asarray(rng.choice(n, 500, replace=False))
-fwd = jax.jit(lambda h: prop(h, idx))
+fwd = jax.jit(lambda h, p, i: p(h, i))
 t0 = time.perf_counter()
-out = fwd(h0)
+out = fwd(h0, prop, idx)
 _ = np.asarray(out[:1])
 log(f"eval forward #1 (incl compile): {time.perf_counter()-t0:.2f}s")
 t0 = time.perf_counter()
 reps = 20
 for _i in range(reps):
-    out = fwd(h0)
+    out = fwd(h0, prop, idx)
 _ = np.asarray(out[:1])
-log(f"exact eval forward (Pi[idx] @ H0): "
+log(f"exact eval forward ((Pi @ H0)[idx]): "
+    f"{(time.perf_counter()-t0)/reps*1e3:.2f} ms/call")
+t0 = time.perf_counter()
+key = jax.random.PRNGKey(0)
+fwd_t = jax.jit(lambda h, p, i, k: p(h, i, key=k, train=True))
+out = fwd_t(h0, prop, idx, key)
+_ = np.asarray(out[:1])
+log(f"train forward #1 (one-hot select, incl compile): "
+    f"{time.perf_counter()-t0:.2f}s")
+t0 = time.perf_counter()
+for _i in range(reps):
+    out = fwd_t(h0, prop, idx, key)
+_ = np.asarray(out[:1])
+log(f"exact train forward (dropout(onehot@Pi) @ H0): "
     f"{(time.perf_counter()-t0)/reps*1e3:.2f} ms/call")

@@ -165,6 +165,39 @@ def test_idx_selection():
                                np.asarray(full_e)[[3, 7, 11]], rtol=1e-5)
 
 
+def test_exact_large_n_selection_paths(monkeypatch):
+    """Above the one-hot threshold, PPRExact switches selection
+    strategy (eval: (Π@H)[idx] reassociation; train: one-hot dot) —
+    both must match the small-n take path exactly (eval) /
+    distributionally identically given the same key is not required
+    (train masks differ only by which rows they cover)."""
+    import ppnp_tpu.ops.exact as exact_mod
+
+    adj = _random_adj(24, seed=21)
+    a_hat = calc_A_hat(adj)
+    ppr = calc_ppr_exact(a_hat, 0.1)
+    h0 = jnp.asarray(
+        np.random.RandomState(3).randn(24, 4).astype(np.float32))
+    idx = jnp.asarray([1, 5, 9, 20])
+    prop = PPRExact(ppr=ppr)
+
+    small_eval = np.asarray(prop(h0, idx, train=False))
+    monkeypatch.setattr(exact_mod, "_ONEHOT_SELECT_MIN_N", 8)
+    large_eval = np.asarray(prop(h0, idx, train=False))
+    np.testing.assert_allclose(large_eval, small_eval, rtol=1e-5,
+                               atol=1e-6)
+    # Train mode (one-hot selection dot before dropout): dropout keys
+    # apply to the selected rows in both regimes, so with the same key
+    # the outputs are bit-comparable only if the mask shapes match —
+    # they do (|idx| × n) — and the one-hot selection is exact.
+    key = jax.random.PRNGKey(7)
+    large_train = np.asarray(prop(h0, idx, key=key, train=True))
+    monkeypatch.setattr(exact_mod, "_ONEHOT_SELECT_MIN_N", 8192)
+    small_train = np.asarray(prop(h0, idx, key=key, train=True))
+    np.testing.assert_allclose(large_train, small_train, rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_edge_dropout_statistics():
     """Train-mode propagation is stochastic with ≈unbiased expectation."""
     adj = _random_adj(30, seed=14)
