@@ -96,11 +96,12 @@ def get_predictions(params, x: jnp.ndarray, propagator) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("learning_rate", "reg_lambda", "drop_prob"))
-def _run_chunk(params, opt_state, best, keys, epochs, limit, x,
+    jax.jit, static_argnames=("learning_rate", "reg_lambda", "drop_prob",
+                              "epoch_chunk"))
+def _run_chunk(params, opt_state, best, key_epochs, e0, limit, x,
                idx_train, y_train, idx_stop, y_stop, propagator, *,
-               learning_rate, reg_lambda, drop_prob):
-    """`len(keys)` training epochs in ONE compiled lax.scan.
+               learning_rate, reg_lambda, drop_prob, epoch_chunk):
+    """`epoch_chunk` training epochs in ONE compiled lax.scan.
 
     Module-level so the compilation caches ACROSS ``train_model`` calls:
     a seed sweep (reproduce.py, SURVEY.md §3.6) compiles once per
@@ -122,7 +123,16 @@ def _run_chunk(params, opt_state, best, keys, epochs, limit, x,
     The best parameter snapshot (highest stopping acc, ties → lower loss
     — the reference's remember rule) is tracked ON DEVICE inside the
     scan so chunking never loses the exact best epoch.
+
+    Per-epoch PRNG keys derive INSIDE the program from (key_epochs, e0):
+    generating them host-side cost ~58ms of op-by-op dispatch per chunk
+    on the tunneled platform — ~half the measured 3.9ms/epoch gap
+    between the component floor and the in-chunk epoch (perfetto trace,
+    2026-08-20). The stacked (3, epoch_chunk) metrics output makes the
+    caller's device→host download ONE fetch instead of three.
     """
+    epochs = e0 + jnp.arange(epoch_chunk)
+    keys = jax.vmap(lambda e: jax.random.fold_in(key_epochs, e))(epochs)
     optimizer = optax.adam(learning_rate)
 
     def epoch_body(carry, key_epoch):
@@ -162,7 +172,7 @@ def _run_chunk(params, opt_state, best, keys, epochs, limit, x,
 
     (params, opt_state, best), ms = jax.lax.scan(
         epoch_body, (params, opt_state, best), (keys, epochs))
-    return params, opt_state, best, ms
+    return params, opt_state, best, jnp.stack(ms)
 
 
 def prepare_attr_input(graph: SparseGraph, propagator, *,
@@ -290,19 +300,17 @@ def train_model(
     # Epoch-chunked training: `epoch_chunk` epochs run inside ONE compiled
     # lax.scan call (see _run_chunk — shared/cached across train_model
     # calls so seed sweeps compile once).
-    def run_chunk(params, opt_state, best, keys, epochs, limit):
-        return _run_chunk(params, opt_state, best, keys, epochs,
-                          jnp.int32(limit), x,
+    def run_chunk(params, opt_state, best, e0, limit):
+        # Always epoch_chunk-wide (shape-stable — see _run_chunk): the
+        # trailing epochs past `limit` are masked no-ops inside the
+        # scan. Keys/epochs derive inside the program from (root key,
+        # e0) — no host-side per-chunk dispatches.
+        return _run_chunk(params, opt_state, best, key_epochs,
+                          jnp.int32(e0), jnp.int32(limit), x,
                           idx_train, y_train, idx_stop, y_stop, propagator,
                           learning_rate=learning_rate,
-                          reg_lambda=reg_lambda, drop_prob=drop_prob)
-
-    def chunk_keys(e0):
-        # Always epoch_chunk-wide (shape-stable — see _run_chunk): the
-        # trailing epochs past `limit` are masked no-ops inside the scan.
-        epochs = jnp.arange(e0, e0 + epoch_chunk)
-        keys = jax.vmap(lambda e: jax.random.fold_in(key_epochs, e))(epochs)
-        return keys, epochs
+                          reg_lambda=reg_lambda, drop_prob=drop_prob,
+                          epoch_chunk=epoch_chunk)
 
     def init_best(params):
         return (params, jnp.float32(-jnp.inf), jnp.float32(jnp.inf),
@@ -391,10 +399,9 @@ def train_model(
         t_chunk = time.perf_counter()
         count = min(epoch_chunk, max_epochs - chunk_start)
         pre = (params, opt_state, best)
-        keys, epochs = chunk_keys(chunk_start)
         params, opt_state, best, ms = run_chunk(
-            params, opt_state, best, keys, epochs, chunk_start + count)
-        losses, accs, stop_losses = (np.asarray(m)[:count] for m in ms)
+            params, opt_state, best, chunk_start, chunk_start + count)
+        losses, accs, stop_losses = np.asarray(ms)[:, :count]
         chunk_times.append((count, time.perf_counter() - t_chunk))
         if count == epoch_chunk:
             chunk_timer.tick()
@@ -435,9 +442,8 @@ def train_model(
                 # stops exactly at the stopping epoch (the reference never
                 # sees post-stop epochs — SURVEY.md §3.1).
                 params, opt_state, best = pre
-                keys, epochs = chunk_keys(chunk_start)
                 params, opt_state, best, _ = run_chunk(
-                    params, opt_state, best, keys, epochs,
+                    params, opt_state, best, chunk_start,
                     chunk_start + stop_at + 1)
         if checkpoint_dir is not None and (
                 stop or (chunk_start // checkpoint_every)
