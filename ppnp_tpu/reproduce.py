@@ -84,6 +84,12 @@ def run_seed_sweep(cfg: RunConfig,
     graph = load_graph(cfg)
     propagator = build_propagator(cfg, graph)
     kwargs = train_kwargs(cfg)
+    # X is seed-independent: stage it once for the whole sweep (the
+    # per-call pack+upload costs ~1.5s at MS Academic scale).
+    from ppnp_tpu.train import prepare_attr_input
+    kwargs["x_prepared"] = prepare_attr_input(
+        graph, propagator, x_format=kwargs.get("x_format", "auto"),
+        x_dtype=kwargs.get("x_dtype"))
 
     accs: List[float] = []
     f1s: List[float] = []

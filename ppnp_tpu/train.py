@@ -255,6 +255,7 @@ def train_model(
     profile_dir: Optional[str] = None,
     x_dtype=None,
     x_format: str = "auto",
+    x_prepared=None,
 ) -> Tuple[Any, Dict[str, Any]]:
     """Train PPNP/APPNP on a graph; returns (params, result_dict).
 
@@ -280,8 +281,14 @@ def train_model(
     idx_train_np, idx_stop_np, idx_valtest_np = preprocessing.gen_splits(
         labels_np, idx_split_args, test=test)
 
-    x = prepare_attr_input(graph, propagator, x_format=x_format,
-                           x_dtype=x_dtype, dtype=dtype)
+    # ``x_prepared``: a staged attribute matrix from a prior
+    # ``prepare_attr_input`` call. X does not depend on the seed, so a
+    # seed sweep (reproduce.py) prepares it ONCE — at MS Academic scale
+    # the per-call pack+upload otherwise adds ~1.5s of fixed cost to
+    # every seed.
+    x = (x_prepared if x_prepared is not None
+         else prepare_attr_input(graph, propagator, x_format=x_format,
+                                 x_dtype=x_dtype, dtype=dtype))
 
     idx_train = jnp.asarray(idx_train_np)
     idx_stop = jnp.asarray(idx_stop_np)

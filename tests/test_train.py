@@ -112,6 +112,25 @@ def test_train_exact_propagation(small_graph):
     assert res["valtest"]["accuracy"] > 0.6
 
 
+def test_train_x_prepared_matches_inline(small_graph):
+    """Passing a pre-staged X (the seed-sweep fast path) is bit-identical
+    to letting train_model prepare it per call."""
+    from ppnp_tpu.train import prepare_attr_input
+
+    prop = _build_power(small_graph, niter=3)
+    kw = dict(test=True, seed=3, print_interval=0,
+              idx_split_args={"ntrain_per_class": 10, "nstopping": 40,
+                              "nknown": 150, "seed": 5},
+              stopping_args={"max_epochs": 30, "patience": 10})
+    params_a, res_a = train_model(small_graph, prop, **kw)
+    x_prep = prepare_attr_input(small_graph, prop)
+    params_b, res_b = train_model(small_graph, prop, x_prepared=x_prep,
+                                  **kw)
+    assert res_a["valtest"]["accuracy"] == res_b["valtest"]["accuracy"]
+    for wa, wb in zip(params_a, params_b):
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+
+
 def test_result_dict_contract(small_graph):
     """The result dict mirrors the reference's train_model contract."""
     prop = _build_power(small_graph, niter=3)
