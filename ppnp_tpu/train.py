@@ -251,7 +251,12 @@ def train_model(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 500,
     resume: bool = False,
-    epoch_chunk: int = 10,
+    # 25 amortizes the per-chunk dispatch + metric-fetch RTT (~28ms on
+    # the tunneled platform → ~1.1ms/epoch) without hurting early-stop
+    # exactness (the partial-chunk replay stops at the precise epoch);
+    # at patience 100 the at-most chunk-1 extra computed epochs are
+    # noise next to the per-epoch savings.
+    epoch_chunk: int = 25,
     profile_dir: Optional[str] = None,
     x_dtype=None,
     x_format: str = "auto",
