@@ -490,19 +490,27 @@ def bench_training_breakdown(
 
     labels_np = np.asarray(graph.labels)
     n_classes = int(labels_np.max()) + 1
+    # Same split args as train_model's defaults so the components
+    # decompose exactly the model bench_training measures.
+    idx_split_args = dict(default_idx_split_args,
+                          ntrain_per_class=cfg.ntrain_per_class,
+                          nstopping=cfg.nstopping, nknown=cfg.nknown)
     idx_train_np, idx_stop_np, _ = preprocessing.gen_splits(
-        labels_np, dict(default_idx_split_args), test=False)
+        labels_np, idx_split_args, test=False)
     idx_train = jnp.asarray(idx_train_np)
     idx_stop = jnp.asarray(idx_stop_np)
     y_train = jnp.asarray(labels_np[idx_train_np])
     y_stop = jnp.asarray(labels_np[idx_stop_np])
 
+    # Hyperparameters come FROM THE CONFIG (not literals) so this
+    # decomposition measures the same model as bench_training.
     n_feat = x.shape[1]
-    params = init_mlp_params(jax.random.PRNGKey(0), n_feat, [64], n_classes)
-    optimizer = optax.adam(0.01)
+    params = init_mlp_params(jax.random.PRNGKey(0), n_feat,
+                             list(cfg.hidden), n_classes)
+    optimizer = optax.adam(cfg.learning_rate)
     opt_state = optimizer.init(params)
     key = jax.random.PRNGKey(42)
-    drop_prob, reg_lambda = 0.5, 5e-3
+    drop_prob, reg_lambda = cfg.drop_prob, cfg.reg_lambda
 
     # Every timed function takes params' fc1 weight as its FIRST arg so
     # `_time`'s fresh-buffer perturbation applies (it perturbs arg 0).
@@ -556,7 +564,9 @@ def bench_training_breakdown(
     out.update(dataset=dataset, backend=backend,
                x_format=("sparse" if isinstance(x, SparseInput)
                          else "dense"),
-               x_dtype=str(jnp.dtype(x_dtype or jnp.float32).name),
+               # The dtype that actually EXECUTED (the sparse kernel
+               # path ignores x_dtype and runs f32) — not the request.
+               x_dtype=str(jnp.dtype(x.dtype).name),
                n=int(graph.adj_matrix.shape[0]), n_classes=n_classes,
                niter=prop.niter, device=str(jax.devices()[0]))
     return out
@@ -609,8 +619,13 @@ def bench_exact(
     m_cols[cols, np.arange(len(cols))] += 1.0
     i_cols = np.zeros_like(m_cols)
     i_cols[cols, np.arange(len(cols))] = 1.0
-    resid = float(jnp.abs((ppr / alpha) @ jnp.asarray(m_cols)
-                          - jnp.asarray(i_cols)).max())
+    # Per-column maxes fetched as ONE >=8-element array — a 0-d
+    # float(...) fetch is the documented platform hazard (2-90s stalls;
+    # see train._host_scalars).
+    resid_cols = np.asarray(jnp.abs(
+        (ppr / alpha) @ jnp.asarray(m_cols) - jnp.asarray(i_cols)
+    ).max(axis=0))
+    resid = float(resid_cols.max())
     prop = PPRExact(ppr=ppr, drop_prob=0.5)
 
     rng = np.random.RandomState(0)
@@ -747,8 +762,10 @@ def bench_retrieval(
     else:
         raise ValueError(f"unknown table_source {table_source!r}")
     # Queries: noisy table rows (trained tables are anisotropic — scoring
-    # them with matched queries is the honest workload, and self-
-    # retrieval sanity-checks the trained path end to end).
+    # them with matched queries is the honest workload). Correctness is
+    # checked by top-1 agreement with a numpy oracle below — NOT by
+    # self-retrieval, which dot-product scoring legitimately fails on an
+    # anisotropic table (large-norm rows outscore the source row).
     q_src = rng.randint(0, n, n_queries)
     q = table[q_src] + 0.01 * jnp.asarray(
         rng.randn(n_queries, d).astype(np.float32))

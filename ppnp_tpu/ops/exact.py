@@ -204,7 +204,11 @@ class PPRExact:
             # dot compiles once (minutes, persistently cached) and runs
             # fast. one_hot rows are exact 0/1, so HIGHEST-precision
             # selection is bit-exact.
-            onehot = jax.nn.one_hot(idx, self.ppr.shape[0],
+            # Clamp like jnp.take does (one_hot would instead zero the
+            # row for an out-of-range index — a silently different
+            # failure mode on either side of the size threshold).
+            idx_c = jnp.clip(idx, 0, self.ppr.shape[0] - 1)
+            onehot = jax.nn.one_hot(idx_c, self.ppr.shape[0],
                                     dtype=self.ppr.dtype)
             rows = jnp.dot(onehot, self.ppr,
                            precision=jax.lax.Precision.HIGHEST)

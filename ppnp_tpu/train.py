@@ -233,6 +233,54 @@ def prepare_attr_input(graph: SparseGraph, propagator, *,
     return x
 
 
+def _check_prepared_input(x, graph, propagator, *, x_format, x_dtype):
+    """Validate a caller-staged ``x_prepared`` at the call boundary.
+
+    A staged X silently overrides ``x_format``/``x_dtype``; sweeping
+    those arguments while reusing one staged array would otherwise
+    measure the wrong configuration (or fail deep inside the jitted
+    chunk with an opaque shape error when the propagator's padded row
+    count disagrees). Cheap metadata checks only — no device traffic.
+    """
+    from ppnp_tpu.ops.sparse_input import SparseInput
+    is_sparse = isinstance(x, SparseInput)
+    if x_format == "sparse" and not is_sparse:
+        raise ValueError("x_prepared is a dense array but x_format="
+                         "'sparse' was requested; re-stage with "
+                         "prepare_attr_input(..., x_format='sparse')")
+    if x_format == "dense" and is_sparse:
+        raise ValueError("x_prepared is a SparseInput but x_format="
+                         "'dense' was requested; re-stage with "
+                         "prepare_attr_input(..., x_format='dense')")
+    if is_sparse and hasattr(propagator, "input_sharding"):
+        raise ValueError("x_format='sparse' is not supported with "
+                         "sharded propagators (the MLP tower is "
+                         "data-parallel over dense X there)")
+    n_attr, n_feat = graph.attr_matrix.shape
+    n_need = max(int(getattr(propagator, "n_rows", n_attr)), n_attr)
+    if tuple(x.shape) != (n_need, n_feat):
+        raise ValueError(
+            f"x_prepared has shape {tuple(x.shape)} but this "
+            f"(graph, propagator) needs ({n_need}, {n_feat}); it was "
+            "staged for a different graph or differently-padded "
+            "propagator")
+    if x_dtype is not None:
+        want = jnp.dtype(x_dtype)
+        if is_sparse:
+            # The sparse kernel path always runs f32 (SparseInput.matmul
+            # force-casts) — an explicit non-f32 request cannot be
+            # honored by a staged sparse X.
+            if want != jnp.dtype(jnp.float32):
+                raise ValueError(
+                    f"x_dtype={want.name} requested but x_prepared is a "
+                    "SparseInput, whose kernel path runs float32")
+        elif jnp.dtype(x.dtype) != want:
+            raise ValueError(
+                f"x_dtype={want.name} requested but x_prepared was "
+                f"staged as {jnp.dtype(x.dtype).name}; re-stage with "
+                "prepare_attr_input(..., x_dtype=...)")
+
+
 def train_model(
     graph: SparseGraph,
     propagator,
@@ -291,9 +339,13 @@ def train_model(
     # seed sweep (reproduce.py) prepares it ONCE — at MS Academic scale
     # the per-call pack+upload otherwise adds ~1.5s of fixed cost to
     # every seed.
-    x = (x_prepared if x_prepared is not None
-         else prepare_attr_input(graph, propagator, x_format=x_format,
-                                 x_dtype=x_dtype, dtype=dtype))
+    if x_prepared is not None:
+        _check_prepared_input(x_prepared, graph, propagator,
+                              x_format=x_format, x_dtype=x_dtype)
+        x = x_prepared
+    else:
+        x = prepare_attr_input(graph, propagator, x_format=x_format,
+                               x_dtype=x_dtype, dtype=dtype)
 
     idx_train = jnp.asarray(idx_train_np)
     idx_stop = jnp.asarray(idx_stop_np)

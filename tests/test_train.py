@@ -131,6 +131,29 @@ def test_train_x_prepared_matches_inline(small_graph):
         np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
 
 
+def test_train_x_prepared_mismatch_rejected(small_graph):
+    """A staged X that disagrees with the explicit x_format/x_dtype
+    arguments (or the propagator's padded row count) is rejected at the
+    call boundary, not deep inside the jitted chunk."""
+    from ppnp_tpu.train import prepare_attr_input
+
+    prop = _build_power(small_graph, niter=3)
+    x_prep = prepare_attr_input(small_graph, prop)  # dense f32
+    kw = dict(test=True, seed=3, print_interval=0,
+              idx_split_args={"ntrain_per_class": 10, "nstopping": 40,
+                              "nknown": 150, "seed": 5},
+              stopping_args={"max_epochs": 5, "patience": 5})
+    with pytest.raises(ValueError, match="x_format='sparse'"):
+        train_model(small_graph, prop, x_prepared=x_prep,
+                    x_format="sparse", **kw)
+    with pytest.raises(ValueError, match="x_dtype=bfloat16"):
+        train_model(small_graph, prop, x_prepared=x_prep,
+                    x_dtype=jnp.bfloat16, **kw)
+    bad = x_prep[:-1]
+    with pytest.raises(ValueError, match="shape"):
+        train_model(small_graph, prop, x_prepared=bad, **kw)
+
+
 def test_result_dict_contract(small_graph):
     """The result dict mirrors the reference's train_model contract."""
     prop = _build_power(small_graph, niter=3)
