@@ -262,6 +262,59 @@ def cmd_retrieve(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Restore a trained checkpoint and emit predictions for a dataset.
+
+    The serving-path complement of ``train --checkpoint-dir``: the
+    reference's only inference surface is the in-process
+    ``get_predictions`` helper (SURVEY.md §3.1, training.py ~L150);
+    here a checkpoint from any earlier run is restored (orbax) and the
+    batched jitted forward produces argmax classes for every node.
+    """
+    from ppnp_tpu import checkpoint as ckpt_mod
+    from ppnp_tpu.builders import build_propagator, load_graph
+    from ppnp_tpu.train import get_predictions, prepare_attr_input
+
+    cfg = _cfg_from_args(args)
+    state = ckpt_mod.restore_checkpoint(args.checkpoint_dir,
+                                        step=args.step)
+    if state is None:
+        logger.error("no checkpoint found under %s", args.checkpoint_dir)
+        return 1
+    # `best_state` is the early-stopping snapshot train_model restores
+    # before its final eval; serve that unless --last asks for the
+    # raw end-of-training params.
+    use_best = (not args.last
+                and state.get("early_stopping", {}).get("best_epoch", -1)
+                >= 0)
+    params = state["best_state"] if use_best else state["params"]
+
+    import jax.numpy as jnp
+
+    graph = load_graph(cfg)
+    propagator = build_propagator(cfg, graph)
+    x = prepare_attr_input(
+        graph, propagator, x_format=cfg.x_format,
+        x_dtype=(jnp.bfloat16 if cfg.x_dtype == "bfloat16" else None))
+    n = graph.num_nodes()
+    preds = get_predictions(params, x, propagator)[:n]
+
+    labels = np.asarray(graph.labels)
+    out = {
+        "checkpoint": args.checkpoint_dir,
+        "step": int(state.get("epoch", -1)),
+        "params": "best" if use_best else "last",
+        "dataset": cfg.dataset,
+        "n": int(n),
+        "accuracy_all_nodes": float((preds == labels).mean()),
+    }
+    if args.out:
+        np.savez(args.out, predictions=preds, labels=labels)
+        out["out"] = args.out
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
     out = {
@@ -395,6 +448,19 @@ def main(argv=None) -> int:
     p.add_argument("--level", default="hidden",
                    choices=["hidden", "logits"])
     p.set_defaults(fn=cmd_retrieve)
+
+    p = sub.add_parser("predict",
+                       help="restore a checkpoint and emit predictions")
+    _add_common(p)
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step to restore (default: latest)")
+    p.add_argument("--last", action="store_true",
+                   help="serve end-of-training params instead of the "
+                        "early-stopping best snapshot")
+    p.add_argument("--out", default=None,
+                   help="write predictions (+labels) to this .npz path")
+    p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("info", help="device/platform info")
     p.add_argument("--health", action="store_true",

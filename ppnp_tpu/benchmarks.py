@@ -395,6 +395,7 @@ def bench_training(
     seed: int = 0,
     x_dtype=None,
     x_format: str = "auto",
+    epoch_chunk: int = 50,
 ) -> Dict:
     """Steady-state training throughput (epochs/s), compile excluded.
 
@@ -418,7 +419,7 @@ def bench_training(
     # same chunk size as the timed run so no recompile is timed — epochs
     # is rounded to a multiple of the chunk so the timed run never
     # compiles a differently-shaped remainder chunk.
-    chunk = min(epochs, 25)
+    chunk = min(epochs, epoch_chunk)
     epochs = max(chunk, (epochs // chunk) * chunk)
     train_model(graph, prop, stopping_args={"max_epochs": chunk,
                                             "patience": 10 ** 6},

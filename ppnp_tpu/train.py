@@ -299,12 +299,16 @@ def train_model(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 500,
     resume: bool = False,
-    # 25 amortizes the per-chunk dispatch + metric-fetch RTT (~28ms on
-    # the tunneled platform → ~1.1ms/epoch) without hurting early-stop
-    # exactness (the partial-chunk replay stops at the precise epoch);
-    # at patience 100 the at-most chunk-1 extra computed epochs are
-    # noise next to the per-epoch savings.
-    epoch_chunk: int = 25,
+    # Amortizes the per-chunk dispatch + metric-fetch RTT (~28ms on the
+    # tunneled platform) without hurting early-stop exactness (the
+    # partial-chunk replay stops at the precise epoch). Measured on MS
+    # Academic (2026-08-20): 9.08 / 8.50 / 8.28 ms/epoch at chunk
+    # 25/50/100 vs a 7.95 component floor. The cost model is
+    # E·(floor + RTT/chunk) + chunk·floor (one chunk of overshoot work
+    # at the stopping point), optimal chunk ≈ sqrt(RTT·E/floor) ≈ 60
+    # for a typical 1,000-epoch early-stopped run — 50 is within noise
+    # of that across 200-3,000-epoch runs.
+    epoch_chunk: int = 50,
     profile_dir: Optional[str] = None,
     x_dtype=None,
     x_format: str = "auto",
@@ -514,6 +518,12 @@ def train_model(
                 != ((last_epoch + 1) // checkpoint_every)):
             _save(last_epoch, params, opt_state, best)
         chunk_start += count
+
+    if checkpoint_dir is not None and not stop:
+        # The run exhausted max_epochs without tripping early stopping:
+        # persist the final state too (the in-loop save only fires on
+        # stop or on crossing a checkpoint_every boundary).
+        _save(last_epoch, params, opt_state, best)
 
     trace_written = profiling_active
     if profiling_active:

@@ -173,6 +173,39 @@ def test_cli_train_profile_flag(tmp_path, capsys):
     assert any(prof.rglob("*")), "no trace files landed via CLI"
 
 
+def test_cli_predict_roundtrip(tmp_path, capsys):
+    """train --checkpoint-dir → predict restores the best snapshot and
+    emits per-node predictions (the serving path)."""
+    from ppnp_tpu.__main__ import main
+
+    ckpt = tmp_path / "ckpt"
+    rc = main(["train", "--dataset", "cora_ml", "--max-epochs", "30",
+               "--patience", "30", "--niter", "2", "--print-interval",
+               "0", "--checkpoint-dir", str(ckpt)])
+    assert rc == 0
+    capsys.readouterr()
+
+    out_npz = tmp_path / "preds.npz"
+    rc = main(["predict", "--dataset", "cora_ml", "--niter", "2",
+               "--checkpoint-dir", str(ckpt), "--out", str(out_npz)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["params"] == "best"
+    assert out["n"] > 0
+    # 30 epochs of training beats chance (7 surrogate classes).
+    assert out["accuracy_all_nodes"] > 0.3
+    data = np.load(out_npz)
+    assert data["predictions"].shape == data["labels"].shape
+    acc = float((data["predictions"] == data["labels"]).mean())
+    assert abs(acc - out["accuracy_all_nodes"]) < 1e-9
+
+    # Missing checkpoint dir → clean error, not a traceback.
+    rc = main(["predict", "--dataset", "cora_ml",
+               "--checkpoint-dir", str(tmp_path / "nope")])
+    capsys.readouterr()
+    assert rc == 1
+
+
 def test_tensorboard_tee_writer(tmp_path):
     """TeeWriter fans epoch rows to JSONL + TensorBoard (SURVEY.md §5)."""
     import json as _json
