@@ -60,7 +60,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ppnp_tpu.ops.pairchunks import PairChunks
 
-__all__ = ["spmm_pair_chunks", "transfer_weights", "make_spmm_grad"]
+__all__ = ["spmm_pair_chunks", "spmm_pair_chunks_grouped",
+           "transfer_weights", "make_spmm_grad", "make_spmm_grad_grouped",
+           "stack_group_weights"]
 
 # v5e VMEM is 128MiB; leave headroom for Mosaic's own buffers.
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
@@ -106,6 +108,177 @@ def _spmm_kernel(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref, e_dst_ref,
         contrib = jnp.dot(d_t, cbuf[:],
                           preferred_element_type=jnp.float32)  # (W, c)
         out_ref[pl.ds(bd, window), :] += contrib
+
+
+def _spmm_kernel_grouped(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref,
+                         e_dst_ref, h_ref, *rest,
+                         window, window_src, chunk, seg_per_mid,
+                         mids_per_step, has_init, align, groups, cg):
+    """Seed-batched SpMM: G independent weightings of ONE sparse pattern.
+
+    The H operand stacks G feature groups along the lane axis
+    ((n, G·cg) — e.g. G seeds' local logits); ``e_w_ref`` carries G
+    per-slot weight sets stacked along sublanes ((G·chunk, n_seg)).
+    The gather one-hot is built UNWEIGHTED — one shared MXU dot serves
+    all G groups — and each group's per-edge weights apply as a cheap
+    VPU multiply on its lane slice of the gathered tile. The scatter
+    one-hot is weight-free, so it is shared as-is. Net: the MXU issue
+    count of a single-seed call covers G seeds (the kernel is
+    issue-bound — module docstring), at the cost of G small VPU
+    multiplies per segment.
+
+    Numerics: per edge the value is (1·h)·w instead of (w·1)·h — the
+    same single rounding — so results are bit-identical to G separate
+    ``_spmm_kernel`` calls.
+    """
+    if has_init:
+        init_ref, out_ref, cbuf = rest
+    else:
+        out_ref, cbuf = rest
+    mid = chunk * seg_per_mid
+    sps = mids_per_step * seg_per_mid
+    cols_e = jax.lax.broadcasted_iota(jnp.int32, (chunk, window_src), 1)
+    rows_d = jax.lax.broadcasted_iota(jnp.int32, (window, mid), 0)
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        if has_init:
+            out_ref[:] = init_ref[:]
+        else:
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+    for m in range(mids_per_step):  # static unroll
+        for j in range(seg_per_mid):  # static unroll
+            s = m * seg_per_mid + j
+            bs = pl.multiple_of(seg_bs_ref[pid * sps + s],
+                                align or window_src)
+            src = e_src_ref[:, s:s + 1]               # (CHUNK, 1)
+            e = jnp.where(cols_e == src, 1.0, 0.0)    # unit gather one-hot
+            hs = h_ref[pl.ds(bs, window_src), :]      # (W_src, G·cg)
+            cm = jnp.dot(e, hs, preferred_element_type=jnp.float32)
+            for g in range(groups):                   # static unroll
+                wg = e_w_ref[g * chunk:(g + 1) * chunk, s:s + 1]
+                cbuf[j * chunk:(j + 1) * chunk, g * cg:(g + 1) * cg] = (
+                    cm[:, g * cg:(g + 1) * cg] * wg)
+
+        bd = pl.multiple_of(mid_bd_ref[pid * mids_per_step + m],
+                            align or window)
+        dloc = e_dst_ref[m:m + 1, :]                  # (1, MID)
+        d_t = jnp.where(rows_d == dloc, 1.0, 0.0)     # (W, MID)
+        contrib = jnp.dot(d_t, cbuf[:],
+                          preferred_element_type=jnp.float32)  # (W, G·cg)
+        out_ref[pl.ds(bd, window), :] += contrib
+
+
+def stack_group_weights(ws) -> jnp.ndarray:
+    """Stack per-group (CHUNK, n_seg) weight sets into the grouped
+    kernel's (G·CHUNK, n_seg) sublane-major layout."""
+    return jnp.concatenate(list(ws), axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mids_per_step", "interpret",
+                                    "keep_padded"))
+def spmm_pair_chunks_grouped(pc: PairChunks, h: jnp.ndarray,
+                             e_w_g: jnp.ndarray,
+                             init: Optional[jnp.ndarray] = None,
+                             mids_per_step: Optional[int] = None,
+                             interpret: Optional[bool] = None,
+                             keep_padded: bool = False) -> jnp.ndarray:
+    """``[A_w1 @ H₁ | … | A_wG @ H_G] (+ init)`` in ONE kernel call.
+
+    ``h`` is (n_cols_pad, G·cg) with group g's features in lanes
+    [g·cg, (g+1)·cg); ``e_w_g`` is (G·chunk, n_seg) — G per-slot weight
+    sets (``stack_group_weights``). The sparse PATTERN (pc) is shared;
+    only the weights differ per group — the seed-batched training case,
+    where each seed draws its own edge-dropout mask over the same Â.
+    Operates in packed row order (callers permute/pad once outside,
+    as the propagation scan does).
+    """
+    if mids_per_step is None:
+        mids_per_step = pc.mids_per_step
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    chunk = pc.chunk
+    groups = e_w_g.shape[0] // chunk
+    if e_w_g.shape[0] != groups * chunk:
+        raise ValueError(f"e_w_g rows {e_w_g.shape[0]} not a multiple of "
+                         f"chunk {chunk}")
+    c_total = h.shape[1]
+    if c_total % groups:
+        raise ValueError(f"h lanes {c_total} not divisible by G={groups}")
+    cg = c_total // groups
+    window, spm = pc.window, pc.seg_per_mid
+    mid = pc.mid
+    n_mid = pc.n_mid
+    if n_mid % mids_per_step:
+        raise ValueError(f"n_mid={n_mid} not divisible by "
+                         f"mids_per_step={mids_per_step}")
+    sps = mids_per_step * spm
+    if h.shape[0] < pc.n_cols_pad:
+        h = jnp.pad(h, ((0, pc.n_cols_pad - h.shape[0]), (0, 0)))
+    has_init = init is not None
+    if has_init and init.shape[0] < pc.n_rows_pad:
+        init = jnp.pad(init, ((0, pc.n_rows_pad - init.shape[0]), (0, 0)))
+
+    if not interpret:
+        resident = (pc.n_cols_pad
+                    + (2 + has_init) * pc.n_rows_pad) * c_total * 4
+        streams = ((1 + groups) * chunk * sps * 4 + mids_per_step * mid * 4
+                   + mid * c_total * 4) * 2
+        if resident + streams > _VMEM_LIMIT_BYTES:
+            raise ValueError(
+                f"grouped SpMM too large for VMEM "
+                f"(needs ~{(resident + streams) >> 20}MiB of "
+                f"{_VMEM_LIMIT_BYTES >> 20}MiB): lower the group count "
+                f"or row-shard over a mesh")
+
+    grid = (n_mid // mids_per_step,)
+    kernel = functools.partial(
+        _spmm_kernel_grouped, window=window, window_src=pc.window_src,
+        chunk=chunk, seg_per_mid=spm, mids_per_step=mids_per_step,
+        has_init=has_init, align=pc.align, groups=groups, cg=cg)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # seg_bs
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # mid_bd
+        pl.BlockSpec((chunk, sps), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),   # e_src
+        pl.BlockSpec((groups * chunk, sps), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),   # e_w_g
+        pl.BlockSpec((mids_per_step, mid), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),   # e_dst
+        pl.BlockSpec((pc.n_cols_pad, c_total), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),   # H, resident
+    ]
+    args = [pc.seg_bs, pc.mid_bd, pc.e_src, e_w_g, pc.e_dst, h]
+    if has_init:
+        in_specs.append(pl.BlockSpec((pc.n_rows_pad, c_total),
+                                     lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(init)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((pc.n_rows_pad, c_total), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((pc.n_rows_pad, c_total),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((mid, c_total), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pc.n_seg * chunk * (pc.window_src + window) * c_total,
+            bytes_accessed=(pc.n_seg * chunk * (8 + 4 * groups)
+                            + pc.n_cols_pad * c_total * 4
+                            + pc.n_rows_pad * c_total * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+    return out if keep_padded else out[:pc.n_rows]
 
 
 @functools.partial(jax.jit,
@@ -321,5 +494,70 @@ def make_spmm_grad(pc: PairChunks, pc_t: PairChunks, perm: jnp.ndarray,
 
     def wrapper(h, e_w, init=None, e_w_t=None):
         return _spmm_vjp(h, e_w, init, pc, pc_t, perm, e_w_t, keep_padded)
+
+    return wrapper
+
+
+def transfer_group_weights(e_w_g: jnp.ndarray, perm: jnp.ndarray,
+                           chunk: int) -> jnp.ndarray:
+    """``transfer_weights`` per group of a (G·chunk, n_seg) stack."""
+    groups = e_w_g.shape[0] // chunk
+    return stack_group_weights(
+        transfer_weights(e_w_g[g * chunk:(g + 1) * chunk], perm, chunk)
+        for g in range(groups))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _spmm_vjp_grouped(h, e_w_g, init, pc, pc_t, w_perm, e_w_g_t,
+                      keep_padded):
+    """Grouped ``[A_wg @ H_g] (+ init)`` with backward through the
+    transpose packing — the seed-batched twin of ``_spmm_vjp`` (same
+    argument discipline: packings are explicit pytree args)."""
+    return spmm_pair_chunks_grouped(pc, h, e_w_g, init,
+                                    keep_padded=keep_padded)
+
+
+def _spmm_vjp_grouped_fwd(h, e_w_g, init, pc, pc_t, w_perm, e_w_g_t,
+                          keep_padded):
+    out = spmm_pair_chunks_grouped(pc, h, e_w_g, init,
+                                   keep_padded=keep_padded)
+    return out, (e_w_g, pc, pc_t, w_perm, e_w_g_t, h.shape[0],
+                 None if init is None else init.shape[0])
+
+
+def _spmm_vjp_grouped_bwd(keep_padded, res, g):
+    e_w_g, pc, pc_t, w_perm, e_w_g_t_in, h_rows, init_rows = res
+    e_w_g_t = (transfer_group_weights(e_w_g, w_perm, pc.chunk)
+               if e_w_g_t_in is None else e_w_g_t_in)
+    dh = spmm_pair_chunks_grouped(pc_t, g, e_w_g_t, None,
+                                  keep_padded=keep_padded)
+    if dh.shape[0] < h_rows:
+        dh = jnp.pad(dh, ((0, h_rows - dh.shape[0]), (0, 0)))
+    elif dh.shape[0] > h_rows:
+        dh = dh[:h_rows]
+    dinit = None
+    if init_rows is not None:
+        dinit = g if g.shape[0] == init_rows else (
+            jnp.pad(g, ((0, init_rows - g.shape[0]), (0, 0)))
+            if g.shape[0] < init_rows else g[:init_rows])
+    return (dh, jnp.zeros_like(e_w_g), dinit,
+            jax.tree.map(_zero_cotangent, pc),
+            jax.tree.map(_zero_cotangent, pc_t),
+            _zero_cotangent(w_perm),
+            None if e_w_g_t_in is None else jnp.zeros_like(e_w_g_t_in))
+
+
+_spmm_vjp_grouped.defvjp(_spmm_vjp_grouped_fwd, _spmm_vjp_grouped_bwd)
+
+
+def make_spmm_grad_grouped(pc: PairChunks, pc_t: PairChunks,
+                           perm: jnp.ndarray, keep_padded: bool = False):
+    """Differentiable grouped SpMM (see ``make_spmm_grad``): forward
+    through ``pc`` with G per-group weight sets, backward through the
+    transpose packing with the same (per-group) weights."""
+
+    def wrapper(h, e_w_g, init=None, e_w_g_t=None):
+        return _spmm_vjp_grouped(h, e_w_g, init, pc, pc_t, perm, e_w_g_t,
+                                 keep_padded)
 
     return wrapper

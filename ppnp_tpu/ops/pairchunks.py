@@ -838,20 +838,29 @@ def pad_pair_chunks(pc: PairChunks, n_seg_to: int,
     Padding segments/midchunks carry w=0 and base row 0 — they stream
     through the kernel and contribute exact zeros, the same invariant
     as the packer's own padding.
+
+    Host (numpy) arrays pad in numpy: one jnp.pad per leaf is a full
+    remote-device dispatch on the tunneled platform (~0.6s each —
+    measured 44s for a 2-block blocked ingest before this dispatch).
     """
     import jax.numpy as jnp
+
+    def _pad(a, widths):
+        mod = np if isinstance(a, np.ndarray) else jnp
+        return mod.pad(a, widths)
+
     dseg = n_seg_to - pc.n_seg
     dmid = n_mid_to - pc.n_mid
     pad_seg = lambda a: (None if a is None  # noqa: E731
-                         else jnp.pad(a, ((0, 0), (0, dseg))))
+                         else _pad(a, ((0, 0), (0, dseg))))
     # replace() pads exactly the geometry-dependent arrays and inherits
     # every other (incl. future) field untouched.
     return pc.replace(
-        seg_bs=jnp.pad(pc.seg_bs, (0, dseg)),
-        mid_bd=jnp.pad(pc.mid_bd, (0, dmid)),
-        e_src=jnp.pad(pc.e_src, ((0, 0), (0, dseg))),
+        seg_bs=_pad(pc.seg_bs, (0, dseg)),
+        mid_bd=_pad(pc.mid_bd, (0, dmid)),
+        e_src=_pad(pc.e_src, ((0, 0), (0, dseg))),
         e_w=pad_seg(pc.e_w),
-        e_dst=jnp.pad(pc.e_dst, ((0, dmid), (0, 0))),
+        e_dst=_pad(pc.e_dst, ((0, dmid), (0, 0))),
         eid_hi=pad_seg(pc.eid_hi), eid_lo=pad_seg(pc.eid_lo))
 
 
@@ -887,7 +896,12 @@ def pad_stack_pair_chunks(pclist) -> PairChunks:
             chex.assert_trees_all_equal_shapes(*padded)
         except ImportError:
             pass
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+    # Host leaves stack in numpy (a jnp.stack per leaf is a remote
+    # dispatch on the tunneled platform); device leaves stay in jnp.
+    return jax.tree.map(
+        lambda *xs: (np.stack(xs)
+                     if all(isinstance(x, np.ndarray) for x in xs)
+                     else jnp.stack(xs)), *padded)
 
 
 def stack_slot_permutations(perms, n_slots_t: int) -> np.ndarray:

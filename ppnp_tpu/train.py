@@ -177,7 +177,7 @@ def _run_chunk(params, opt_state, best, key_epochs, e0, limit, x,
 
 def prepare_attr_input(graph: SparseGraph, propagator, *,
                        x_format: str = "auto", x_dtype=None,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, hidden: int = 64):
     """L1-normalize the attribute matrix and stage it for the MLP tower.
 
     Returns either a dense device array or a packed ``SparseInput``
@@ -193,17 +193,25 @@ def prepare_attr_input(graph: SparseGraph, propagator, *,
 
     Sharded/padded propagators require H⁰ (hence X) padded to their row
     count; padding rows are zero and never selected by any idx.
+
+    ``hidden``: the first hidden width (the fc1 SpMM's lane count) —
+    "auto" only picks sparse when the VMEM-resident kernel can hold the
+    fc1 forward/backward operands (~3·n·hidden + 2·f·hidden floats);
+    beyond that (n ≳ 130k at hidden 64) X stays dense.
     """
     attr_norm = preprocessing.normalize_attributes(graph.attr_matrix)
     n_rows = getattr(propagator, "n_rows", attr_norm.shape[0])
     use_sparse = x_format == "sparse"
     if x_format == "auto":
+        from ppnp_tpu.kernels.spmm import _VMEM_LIMIT_BYTES
+        n, f = attr_norm.shape
+        fc1_vmem = (3 * max(n_rows, n) + 2 * f) * hidden * 4
         use_sparse = (
             sp.issparse(attr_norm)
             and not hasattr(propagator, "input_sharding")
-            and attr_norm.shape[0] * attr_norm.shape[1] >= 16_000_000
-            and attr_norm.nnz <= 0.05 * attr_norm.shape[0]
-            * attr_norm.shape[1])
+            and n * f >= 16_000_000
+            and attr_norm.nnz <= 0.05 * n * f
+            and fc1_vmem <= _VMEM_LIMIT_BYTES)
     elif x_format not in ("dense", "sparse"):
         raise ValueError(f"unknown x_format {x_format!r} "
                          "(expected 'auto', 'dense' or 'sparse')")
@@ -349,7 +357,8 @@ def train_model(
         x = x_prepared
     else:
         x = prepare_attr_input(graph, propagator, x_format=x_format,
-                               x_dtype=x_dtype, dtype=dtype)
+                               x_dtype=x_dtype, dtype=dtype,
+                               hidden=max(hidden_units, default=64))
 
     idx_train = jnp.asarray(idx_train_np)
     idx_stop = jnp.asarray(idx_stop_np)

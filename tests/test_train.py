@@ -154,6 +154,39 @@ def test_train_x_prepared_mismatch_rejected(small_graph):
         train_model(small_graph, prop, x_prepared=bad, **kw)
 
 
+def test_prepare_attr_auto_respects_vmem_ceiling():
+    """x_format='auto' must not pick the sparse fc1 kernel when the
+    VMEM-resident SpMM cannot hold its fc1 operands (n ≳ 130k at
+    hidden 64) — it crashed at 500k nodes before the bound."""
+    import scipy.sparse as sp
+
+    from ppnp_tpu.data.sparsegraph import SparseGraph
+    from ppnp_tpu.ops.sparse_input import SparseInput
+    from ppnp_tpu.train import prepare_attr_input
+
+    class _Prop:  # minimal duck-typed propagator (unsharded, no padding)
+        pass
+
+    def make(n, f, nnz_per_row=3):
+        rng = np.random.default_rng(0)
+        rows = np.repeat(np.arange(n), nnz_per_row)
+        cols = rng.integers(0, f, n * nnz_per_row)
+        attr = sp.coo_matrix(
+            (np.ones(n * nnz_per_row, np.float32), (rows, cols)),
+            shape=(n, f)).tocsr()
+        adj = sp.identity(n, format="csr", dtype=np.float32)
+        return SparseGraph(adj_matrix=adj, attr_matrix=attr,
+                           labels=np.zeros(n, np.int32))
+
+    # Big-n: dense elements >= 16M and density fine, but fc1 would need
+    # ~3*200k*64*4 = 147MiB of VMEM -> auto must stay dense.
+    x = prepare_attr_input(make(200_000, 100), _Prop())
+    assert not isinstance(x, SparseInput)
+    # Mid-size: all auto criteria met -> sparse.
+    x = prepare_attr_input(make(40_000, 512), _Prop())
+    assert isinstance(x, SparseInput)
+
+
 def test_result_dict_contract(small_graph):
     """The result dict mirrors the reference's train_model contract."""
     prop = _build_power(small_graph, niter=3)
