@@ -143,7 +143,9 @@ def cmd_reproduce(args) -> int:
     rows = []
     for dataset in args.datasets or ["cora_ml", "citeseer", "pubmed"]:
         cfg.dataset = dataset
-        res = run_seed_sweep(cfg, seeds=seeds, out_path=args.out and
+        res = run_seed_sweep(cfg, batched=(False if args.serial_seeds
+                                           else None),
+                             seeds=seeds, out_path=args.out and
                              f"{args.out}_{dataset}.json")
         rows.append((dataset, res["mean_accuracy"], res["ci95_accuracy"]))
         print(f"{dataset}: {100*res['mean_accuracy']:.2f} "
@@ -390,6 +392,10 @@ def main(argv=None) -> int:
                    help="default: cora_ml citeseer pubmed; with --all: "
                         "all four reference datasets")
     p.add_argument("--nseeds", type=int, default=5)
+    p.add_argument("--serial-seeds", action="store_true",
+                   help="train seeds one at a time (default: batch all "
+                        "seeds into one lane-stacked run where the "
+                        "backend supports it — ppnp_tpu.multiseed)")
     p.add_argument("--out", default=None, help="result JSON path prefix")
     p.add_argument("--all", action="store_true",
                    help="full paper-style table (exact+power × datasets) "

@@ -29,7 +29,8 @@ from flax import struct
 from ppnp_tpu.ops.dropout import dropout, edge_dropout, edge_dropout_by_id
 from ppnp_tpu.ops.sparse import EdgeList
 
-__all__ = ["spmm_edge_list", "spmm", "PPRPowerIteration"]
+__all__ = ["spmm_edge_list", "spmm", "PPRPowerIteration",
+           "propagate_grouped"]
 
 
 def spmm_edge_list(edges: EdgeList, h: jnp.ndarray,
@@ -240,3 +241,99 @@ class PPRPowerIteration:
         if idx is not None:
             h = jnp.take(h, idx, axis=0)
         return h
+
+
+def propagate_grouped(prop: PPRPowerIteration, h0: jnp.ndarray,
+                      keys: Optional[jax.Array] = None, *,
+                      train: bool = False, groups: int = 1) -> jnp.ndarray:
+    """K power-iteration steps over G seed groups stacked along lanes.
+
+    Seed-batched training (``ppnp_tpu.multiseed``): ``h0`` is
+    (n, G·c) with seed g's local logits in lanes [g·c, (g+1)·c), and
+    ``keys`` is a (G,)-stacked PRNG key array — each seed's edge-dropout
+    mask stream derives from its own key EXACTLY as the single-seed
+    ``prop.propagate(h0_g, key=keys[g])`` would, so per-seed results
+    match the sequential path (bit-exactly in interpret mode; at the
+    MXU's default-precision level on chip).
+
+    The kernel cost story: the pallas kernel is MXU-issue-bound and flat
+    in lane count to 128, so G seeds at c lanes each cost ~one
+    single-seed call (kernels/spmm.py ``_spmm_kernel_grouped``) — the
+    per-seed masks ride as per-group VPU multiplies.
+
+    Eval mode (no dropout) needs no grouped kernel at all: every seed
+    shares Â's weights, so the stacked ``h0`` goes through the ordinary
+    propagate path unchanged.
+    """
+    apply_drop = bool(train and prop.drop_prob > 0.0 and keys is not None)
+    if not apply_drop:
+        return prop.propagate(h0, train=False)
+    if prop.backend == "pallas":
+        return _propagate_grouped_pallas(prop, h0, keys, groups)
+    if prop.backend == "xla":
+        return _propagate_grouped_xla(prop, h0, keys, groups)
+    raise NotImplementedError(
+        f"grouped train-mode propagation: backend {prop.backend!r} "
+        "(use 'pallas' or 'xla')")
+
+
+def _propagate_grouped_xla(prop, h0, keys, groups):
+    edges = prop.edges
+    c_total = h0.shape[1]
+    cg = c_total // groups
+    one_minus_alpha = 1.0 - prop.alpha
+    alpha_h0 = prop.alpha * h0
+    # (G, niter, 2) -> (niter, G, 2): per-seed streams split exactly as
+    # the single-seed path does, stacked per iteration for the scan.
+    kiter = jnp.stack([jax.random.split(keys[g], prop.niter)
+                       for g in range(groups)], axis=1)
+
+    def step(h, ks):
+        w = jax.vmap(lambda k: edge_dropout(k, edges.w, prop.drop_prob))(ks)
+        gathered = jnp.take(h, edges.src, axis=0)           # (nnz, G·cg)
+        gm = (gathered.reshape(-1, groups, cg)
+              * w.T[:, :, None]).reshape(-1, c_total)
+        ah = jax.ops.segment_sum(gm, edges.dst,
+                                 num_segments=edges.n_rows,
+                                 indices_are_sorted=True)
+        return one_minus_alpha * ah + alpha_h0, None
+
+    h, _ = jax.lax.scan(step, h0, kiter)
+    return h
+
+
+def _propagate_grouped_pallas(prop, h0, keys, groups):
+    from ppnp_tpu.kernels.spmm import make_spmm_grad_grouped
+
+    pc, pc_t = prop.pair_chunks, prop.pair_chunks_t
+    if pc_t is None or pc.eid_hi is None or pc_t.eid_hi is None:
+        raise ValueError("grouped pallas propagation requires id-keyed "
+                         "forward+transpose packings (edge_ids)")
+    one_minus_alpha = 1.0 - prop.alpha
+    n = h0.shape[0]
+    hp = jnp.take(h0, pc.perm, axis=0) if pc.perm is not None else h0
+    if pc.n_rows_pad != pc.n_cols_pad:
+        raise ValueError("pallas propagation requires a square packing")
+    hp = jnp.pad(hp, ((0, pc.n_rows_pad - n), (0, 0)))
+    init = prop.alpha * hp
+
+    spmm_fn = make_spmm_grad_grouped(pc, pc_t, prop.w_perm,
+                                     keep_padded=True)
+    kiter = jnp.stack([jax.random.split(keys[g], prop.niter)
+                       for g in range(groups)], axis=1)  # (niter, G, 2)
+
+    def masks(ks, packing):
+        w = jax.vmap(
+            lambda k: edge_dropout_by_id(k, packing, prop.drop_prob))(ks)
+        return one_minus_alpha * w.reshape(-1, w.shape[-1])
+
+    def step(h, ks):
+        w_g = masks(ks, pc)
+        w_g_t = masks(ks, pc_t)
+        return spmm_fn(h, w_g, init, w_g_t), None
+
+    hp, _ = jax.lax.scan(step, hp, kiter)
+    hp = hp[:n]
+    if pc.iperm is not None:
+        hp = jnp.take(hp, pc.iperm, axis=0)
+    return hp

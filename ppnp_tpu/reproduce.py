@@ -76,39 +76,73 @@ def bootstrap_ci(values: Sequence[float], n_boot: int = 1000,
     return float((hi - lo) / 2)
 
 
+def _batchable(cfg: RunConfig) -> bool:
+    """Seed-batching handles the power propagation on the pallas/xla
+    backends (ppnp_tpu.multiseed); everything else sweeps serially."""
+    return (cfg.propagation == "power"
+            and cfg.backend in ("pallas", "xla"))
+
+
 def run_seed_sweep(cfg: RunConfig,
                    seeds: Optional[Sequence[int]] = None,
-                   out_path: Optional[str] = None) -> Dict:
-    """Train cfg over seeds; returns {accuracies, mean, ci, ...}."""
+                   out_path: Optional[str] = None,
+                   batched: Optional[bool] = None) -> Dict:
+    """Train cfg over seeds; returns {accuracies, mean, ci, ...}.
+
+    ``batched=True`` trains ALL seeds simultaneously via
+    ``ppnp_tpu.multiseed.train_models`` — the seeds' logits stack along
+    the MXU lane axis, so the sweep costs ~one model's propagation work
+    instead of G× (the kernel is issue-bound; BASELINE.md). Default
+    (None): batch exactly where supported. Per-seed results match the
+    serial sweep (bit-exactly on CPU; MXU default-precision level on
+    chip).
+    """
     seeds = list(seeds if seeds is not None else DEFAULT_SEEDS)
     graph = load_graph(cfg)
     propagator = build_propagator(cfg, graph)
     kwargs = train_kwargs(cfg)
+    if batched is None:
+        batched = _batchable(cfg)
+    if batched and not _batchable(cfg):
+        raise ValueError(
+            f"batched seed sweep supports propagation='power' on "
+            f"backend pallas/xla, not {cfg.propagation}/{cfg.backend}")
     # X is seed-independent: stage it once for the whole sweep (the
     # per-call pack+upload costs ~1.5s at MS Academic scale).
     from ppnp_tpu.train import prepare_attr_input
     kwargs["x_prepared"] = prepare_attr_input(
         graph, propagator, x_format=kwargs.get("x_format", "auto"),
-        x_dtype=kwargs.get("x_dtype"))
+        x_dtype=kwargs.get("x_dtype"),
+        hidden=max(kwargs["hidden_units"], default=64))
 
     accs: List[float] = []
     f1s: List[float] = []
     t0 = time.time()
-    for i, seed in enumerate(seeds):
-        # Each sweep seed drives both the split sample and the init,
-        # mirroring the reference's protocol (SURVEY.md §3.6).
-        kw = dict(kwargs)
-        kw["seed"] = int(seed)
-        kw["idx_split_args"] = dict(kw["idx_split_args"],
-                                    seed=int(seed) & 0x7FFFFFFF)
-        _, res = train_model(graph, propagator, **kw)
-        accs.append(res["valtest"]["accuracy"])
-        f1s.append(res["valtest"]["f1_score"])
-        logger.info("seed %d (%d/%d): acc %.4f (running mean %.4f)",
-                    seed, i + 1, len(seeds), accs[-1], np.mean(accs))
+    if batched:
+        from ppnp_tpu.multiseed import train_models
+        kw = {k: v for k, v in kwargs.items() if k != "seed"}
+        results = train_models(graph, propagator, seeds, **kw)
+        for seed, (_, res) in zip(seeds, results):
+            accs.append(res["valtest"]["accuracy"])
+            f1s.append(res["valtest"]["f1_score"])
+            logger.info("seed %d (batched): acc %.4f", seed, accs[-1])
+    else:
+        for i, seed in enumerate(seeds):
+            # Each sweep seed drives both the split sample and the init,
+            # mirroring the reference's protocol (SURVEY.md §3.6).
+            kw = dict(kwargs)
+            kw["seed"] = int(seed)
+            kw["idx_split_args"] = dict(kw["idx_split_args"],
+                                        seed=int(seed) & 0x7FFFFFFF)
+            _, res = train_model(graph, propagator, **kw)
+            accs.append(res["valtest"]["accuracy"])
+            f1s.append(res["valtest"]["f1_score"])
+            logger.info("seed %d (%d/%d): acc %.4f (running mean %.4f)",
+                        seed, i + 1, len(seeds), accs[-1], np.mean(accs))
 
     result = {
         "config": dataclasses.asdict(cfg),
+        "batched": bool(batched),
         "seeds": [int(s) for s in seeds],
         "accuracies": accs,
         "f1_scores": f1s,

@@ -129,6 +129,76 @@ def test_grouped_vjp_matches_per_group_grads():
             np.asarray(g_single), rtol=1e-4, atol=1e-5)
 
 
+def _small_geo():
+    # Reduced unroll geometry (as dryrun_multichip packs): interpret-mode
+    # tracing of the full TPU geometry inlines 512 dots per grid step.
+    return dict(window=128, window_src=128, chunk=8, seg_per_mid=8,
+                mids_per_step=4)
+
+
+def _build_pallas_prop(n=220, density=0.02, niter=3, drop_prob=0.4,
+                       seed=1):
+    from ppnp_tpu.ops.propagation import PPRPowerIteration
+    from ppnp_tpu.ops.sparse import edge_list_from_scipy
+
+    rng = np.random.RandomState(seed)
+    a = sp.random(n, n, density=density, random_state=rng, format="csr",
+                  dtype=np.float32)
+    geo = _small_geo()
+    pc = packer_for("banded")(a, edge_ids="direct", reorder="rcm",
+                              device=False, **geo)
+    pc_t = transpose_pair(a, layout="banded", device=False,
+                          perm=np.asarray(pc.perm), **geo)
+    perm = jnp.asarray(slot_permutation(pc, pc_t))
+    return PPRPowerIteration(
+        edges=edge_list_from_scipy(a), pair_chunks=pc, pair_chunks_t=pc_t,
+        w_perm=perm, alpha=0.1, niter=niter, drop_prob=drop_prob,
+        backend="pallas"), a
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_propagate_grouped_matches_per_seed(backend):
+    """Grouped train-mode propagation == per-seed sequential propagate
+    with the same keys (each seed's mask stream derives from its own
+    key exactly as the single-seed path)."""
+    from ppnp_tpu.ops.propagation import propagate_grouped
+
+    prop, a = _build_pallas_prop()
+    if backend == "xla":
+        prop = prop.replace(backend="xla", pair_chunks=None,
+                            pair_chunks_t=None, w_perm=None)
+    n = a.shape[0]
+    G, cg = 3, 4
+    rng = np.random.RandomState(2)
+    h = jnp.asarray(rng.randn(n, G * cg).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(0), G)
+
+    out = propagate_grouped(prop, h, keys, train=True, groups=G)
+    assert out.shape == (n, G * cg)
+    for g in range(G):
+        ref = prop.propagate(h[:, g * cg:(g + 1) * cg], key=keys[g],
+                             train=True)
+        np.testing.assert_allclose(np.asarray(out[:, g * cg:(g + 1) * cg]),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_propagate_grouped_eval_is_plain_stacked():
+    """Eval mode shares Â's weights across seeds — grouped == the plain
+    propagate on the stacked matrix AND == per-seed propagate."""
+    from ppnp_tpu.ops.propagation import propagate_grouped
+
+    prop, a = _build_pallas_prop(drop_prob=0.5)
+    n = a.shape[0]
+    G, cg = 2, 8
+    h = jnp.asarray(np.random.RandomState(4).randn(n, G * cg)
+                    .astype(np.float32))
+    out = propagate_grouped(prop, h, None, train=False, groups=G)
+    for g in range(G):
+        ref = prop.propagate(h[:, g * cg:(g + 1) * cg], train=False)
+        np.testing.assert_allclose(np.asarray(out[:, g * cg:(g + 1) * cg]),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
 def test_grouped_vjp_fallback_weight_transfer():
     """Without caller-supplied transpose weights the backward gathers
     them through the slot permutation (transfer_group_weights)."""

@@ -1,0 +1,106 @@
+"""Seed-batched training (ppnp_tpu.multiseed) vs the sequential path.
+
+The parity contract: ``train_models(graph, prop, seeds)`` reproduces G
+sequential ``train_model`` calls under the reproduce protocol — same
+per-seed splits, init, dropout streams, early-stopping decisions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppnp_tpu.multiseed import train_models
+from ppnp_tpu.ops.normalize import calc_A_hat
+from ppnp_tpu.ops.propagation import PPRPowerIteration
+from ppnp_tpu.ops.sparse import edge_list_from_scipy
+from ppnp_tpu.train import train_model
+
+SEEDS = [2144199730, 794209841, 2985733717]
+SPLIT = {"ntrain_per_class": 10, "nstopping": 40, "nknown": 150}
+STOP = {"max_epochs": 60, "patience": 15}
+
+
+def _xla_prop(graph, niter=3):
+    a_hat = calc_A_hat(graph.adj_matrix)
+    return PPRPowerIteration(edges=edge_list_from_scipy(a_hat), alpha=0.1,
+                             niter=niter, drop_prob=0.4)
+
+
+def _pallas_prop(graph, niter=3):
+    from ppnp_tpu.ops.pairchunks import (packer_for, slot_permutation,
+                                         transpose_pair)
+
+    a_hat = calc_A_hat(graph.adj_matrix)
+    geo = dict(window=128, window_src=128, chunk=8, seg_per_mid=8,
+               mids_per_step=4)
+    pc = packer_for("banded")(a_hat, edge_ids="direct", reorder="rcm",
+                              device=False, **geo)
+    pc_t = transpose_pair(a_hat, layout="banded", device=False,
+                          perm=np.asarray(pc.perm), **geo)
+    perm = jnp.asarray(slot_permutation(pc, pc_t))
+    return PPRPowerIteration(
+        edges=edge_list_from_scipy(a_hat), pair_chunks=pc,
+        pair_chunks_t=pc_t, w_perm=perm, alpha=0.1, niter=niter,
+        drop_prob=0.4, backend="pallas")
+
+
+def _sequential(graph, prop, seeds, **kw):
+    out = []
+    for s in seeds:
+        _, res = train_model(
+            graph, prop, seed=int(s), print_interval=0,
+            idx_split_args=dict(SPLIT, seed=int(s) & 0x7FFFFFFF),
+            stopping_args=dict(STOP), test=True, drop_prob=0.4, **kw)
+        out.append(res)
+    return out
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_batched_matches_sequential(small_graph, backend):
+    """Per-seed valtest accuracy, best epoch, and stop epoch of the
+    batched sweep match the sequential sweep (same PRNG chains; CPU
+    math is bit-stable across the two formulations)."""
+    prop = (_xla_prop(small_graph) if backend == "xla"
+            else _pallas_prop(small_graph))
+    seq = _sequential(small_graph, prop, SEEDS)
+    batched = train_models(
+        small_graph, prop, SEEDS, drop_prob=0.4, test=True,
+        idx_split_args=dict(SPLIT), stopping_args=dict(STOP),
+        epoch_chunk=16)
+    assert len(batched) == len(SEEDS)
+    for (params_g, res_b), res_s in zip(batched, seq):
+        assert res_b["best_epoch"] == res_s["best_epoch"]
+        assert res_b["last_epoch"] == res_s["last_epoch"]
+        np.testing.assert_allclose(res_b["valtest"]["accuracy"],
+                                   res_s["valtest"]["accuracy"],
+                                   atol=1e-12)
+        np.testing.assert_allclose(res_b["valtest"]["f1_score"],
+                                   res_s["valtest"]["f1_score"],
+                                   atol=1e-12)
+
+
+def test_batched_seeds_differ(small_graph):
+    """Different seeds yield different splits/inits — the batched sweep
+    must not silently share state across lanes."""
+    prop = _xla_prop(small_graph)
+    batched = train_models(
+        small_graph, prop, SEEDS, drop_prob=0.4, test=True,
+        idx_split_args=dict(SPLIT), stopping_args=dict(STOP),
+        epoch_chunk=16)
+    accs = [res["valtest"]["accuracy"] for _, res in batched]
+    preds = [res["predictions"] for _, res in batched]
+    # prediction vectors can't be identical across seeds (different
+    # splits and inits) unless lanes leaked into each other
+    assert not np.array_equal(preds[0], preds[1])
+    assert all(0.0 <= a <= 1.0 for a in accs)
+
+
+def test_batched_result_contract(small_graph):
+    prop = _xla_prop(small_graph)
+    (params, res), = train_models(
+        small_graph, prop, SEEDS[:1], drop_prob=0.4, test=True,
+        idx_split_args=dict(SPLIT), stopping_args=dict(STOP))
+    assert {"train", "early_stopping", "valtest", "runtime",
+            "last_epoch", "best_epoch"} <= set(res)
+    assert isinstance(params, list) and params[0].ndim == 2
