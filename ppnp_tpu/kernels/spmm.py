@@ -116,16 +116,26 @@ def _spmm_kernel_grouped(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref,
                          mids_per_step, has_init, align, groups, cg):
     """Seed-batched SpMM: G independent weightings of ONE sparse pattern.
 
-    The H operand stacks G feature groups along the lane axis
-    ((n, G·cg) — e.g. G seeds' local logits); ``e_w_ref`` carries G
-    per-slot weight sets stacked along sublanes ((G·chunk, n_seg)).
-    The gather one-hot is built UNWEIGHTED — one shared MXU dot serves
-    all G groups — and each group's per-edge weights apply as a cheap
-    VPU multiply on its lane slice of the gathered tile. The scatter
+    The H operand stacks G feature groups along the lane axis — group
+    g's features in lanes [g·cg, (g+1)·cg) ((n, G·cg), e.g. G seeds'
+    local logits); ``e_w_ref`` carries G per-slot weight sets in MID
+    layout — (n_mid, MID, G), row ``j·chunk + i`` of mid m holding
+    segment ``m·spm + j``'s chunk-row i (``stack_group_weights``), so
+    it slices per MID with no lane shuffling. The gather one-hot is
+    built UNWEIGHTED — one shared MXU dot serves all G groups — and
+    the per-group weights apply as G lane-broadcast VPU multiplies per
+    MID, each scaling its group's aligned lane slice of the gathered
+    buffer in place just before the scatter dot (padding slots carry
+    weight 0, so their garbage gathers still cancel). The scatter
     one-hot is weight-free, so it is shared as-is. Net: the MXU issue
     count of a single-seed call covers G seeds (the kernel is
-    issue-bound — module docstring), at the cost of G small VPU
-    multiplies per segment.
+    issue-bound — module docstring) at ~4·G extra VPU ops per MID —
+    amortized over seg_per_mid segments, which keeps both trace and
+    Mosaic-compile cost of the unrolled body low. (Measured dead ends
+    at production geometry, 1024-segment unroll: a per-SEGMENT
+    per-group loop traced in 121s; ``pltpu.repeat`` lane-tiling
+    register-spills ~350MB; a per-mid cg-operand lane concat compiled
+    but cost 2.7× at runtime from unaligned cross-lane copies.)
 
     Numerics: per edge the value is (1·h)·w instead of (w·1)·h — the
     same single rounding — so results are bit-identical to G separate
@@ -155,13 +165,14 @@ def _spmm_kernel_grouped(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref,
                                 align or window_src)
             src = e_src_ref[:, s:s + 1]               # (CHUNK, 1)
             e = jnp.where(cols_e == src, 1.0, 0.0)    # unit gather one-hot
-            hs = h_ref[pl.ds(bs, window_src), :]      # (W_src, G·cg)
-            cm = jnp.dot(e, hs, preferred_element_type=jnp.float32)
-            for g in range(groups):                   # static unroll
-                wg = e_w_ref[g * chunk:(g + 1) * chunk, s:s + 1]
-                cbuf[j * chunk:(j + 1) * chunk, g * cg:(g + 1) * cg] = (
-                    cm[:, g * cg:(g + 1) * cg] * wg)
+            hs = h_ref[pl.ds(bs, window_src), :]      # (W_src, cg·G)
+            cbuf[j * chunk:(j + 1) * chunk, :] = jnp.dot(
+                e, hs, preferred_element_type=jnp.float32)
 
+        w = e_w_ref[m]                                # (MID, G)
+        for g in range(groups):                       # static unroll
+            cbuf[:, g * cg:(g + 1) * cg] = (
+                cbuf[:, g * cg:(g + 1) * cg] * w[:, g:g + 1])
         bd = pl.multiple_of(mid_bd_ref[pid * mids_per_step + m],
                             align or window)
         dloc = e_dst_ref[m:m + 1, :]                  # (1, MID)
@@ -171,10 +182,18 @@ def _spmm_kernel_grouped(seg_bs_ref, mid_bd_ref, e_src_ref, e_w_ref,
         out_ref[pl.ds(bd, window), :] += contrib
 
 
-def stack_group_weights(ws) -> jnp.ndarray:
+def stack_group_weights(ws, pc: PairChunks) -> jnp.ndarray:
     """Stack per-group (CHUNK, n_seg) weight sets into the grouped
-    kernel's (G·CHUNK, n_seg) sublane-major layout."""
-    return jnp.concatenate(list(ws), axis=0)
+    kernel's (n_mid, MID, G) layout: mid m's row ``j·chunk + i`` is
+    segment ``m·spm + j``'s chunk-row i — the exact row order of the
+    kernel's gathered buffer, so the weights apply as one multiply per
+    MID with no in-kernel shuffling."""
+    chunk, spm, n_mid = pc.chunk, pc.seg_per_mid, pc.n_mid
+
+    def one(w):
+        return w.T.reshape(n_mid, spm * chunk)
+
+    return jnp.stack([one(w) for w in ws], axis=-1)
 
 
 @functools.partial(jax.jit,
@@ -186,25 +205,27 @@ def spmm_pair_chunks_grouped(pc: PairChunks, h: jnp.ndarray,
                              mids_per_step: Optional[int] = None,
                              interpret: Optional[bool] = None,
                              keep_padded: bool = False) -> jnp.ndarray:
-    """``[A_w1 @ H₁ | … | A_wG @ H_G] (+ init)`` in ONE kernel call.
+    """``A_wg @ H_g`` for all G groups (+ init) in ONE kernel call.
 
     ``h`` is (n_cols_pad, G·cg) with group g's features in lanes
-    [g·cg, (g+1)·cg); ``e_w_g`` is (G·chunk, n_seg) — G per-slot weight
-    sets (``stack_group_weights``). The sparse PATTERN (pc) is shared;
-    only the weights differ per group — the seed-batched training case,
-    where each seed draws its own edge-dropout mask over the same Â.
-    Operates in packed row order (callers permute/pad once outside,
-    as the propagation scan does).
+    [g·cg, (g+1)·cg); ``e_w_g`` is (n_mid, MID, G) — G per-slot weight
+    sets in the gathered buffer's row order (``stack_group_weights``).
+    The sparse PATTERN (pc) is shared; only the weights differ per
+    group — the seed-batched training case, where each seed draws its
+    own edge-dropout mask over the same Â. Operates in packed row
+    order (callers permute/pad once outside, as the propagation scan
+    does).
     """
     if mids_per_step is None:
         mids_per_step = pc.mids_per_step
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     chunk = pc.chunk
-    groups = e_w_g.shape[0] // chunk
-    if e_w_g.shape[0] != groups * chunk:
-        raise ValueError(f"e_w_g rows {e_w_g.shape[0]} not a multiple of "
-                         f"chunk {chunk}")
+    if e_w_g.ndim != 3 or e_w_g.shape[:2] != (pc.n_mid, pc.mid):
+        raise ValueError(
+            f"e_w_g shape {e_w_g.shape} != (n_mid={pc.n_mid}, "
+            f"mid={pc.mid}, G) — stack_group_weights layout")
+    groups = e_w_g.shape[2]
     c_total = h.shape[1]
     if c_total % groups:
         raise ValueError(f"h lanes {c_total} not divisible by G={groups}")
@@ -225,7 +246,11 @@ def spmm_pair_chunks_grouped(pc: PairChunks, h: jnp.ndarray,
     if not interpret:
         resident = (pc.n_cols_pad
                     + (2 + has_init) * pc.n_rows_pad) * c_total * 4
-        streams = ((1 + groups) * chunk * sps * 4 + mids_per_step * mid * 4
+        # e_w_g blocks are (mps, MID, G) with G lane-padded to 128 in
+        # VMEM tiling — the padding is real allocation.
+        e_w_lanes = -(-groups // 128) * 128
+        streams = (chunk * sps * 4 + mids_per_step * mid * 4
+                   + mids_per_step * mid * e_w_lanes * 4
                    + mid * c_total * 4) * 2
         if resident + streams > _VMEM_LIMIT_BYTES:
             raise ValueError(
@@ -245,8 +270,8 @@ def spmm_pair_chunks_grouped(pc: PairChunks, h: jnp.ndarray,
         pl.BlockSpec(memory_space=pltpu.SMEM),   # mid_bd
         pl.BlockSpec((chunk, sps), lambda i: (0, i),
                      memory_space=pltpu.VMEM),   # e_src
-        pl.BlockSpec((groups * chunk, sps), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),   # e_w_g
+        pl.BlockSpec((mids_per_step, mid, groups), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),   # e_w_g, MID rows
         pl.BlockSpec((mids_per_step, mid), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),   # e_dst
         pl.BlockSpec((pc.n_cols_pad, c_total), lambda i: (0, 0),
@@ -499,12 +524,19 @@ def make_spmm_grad(pc: PairChunks, pc_t: PairChunks, perm: jnp.ndarray,
 
 
 def transfer_group_weights(e_w_g: jnp.ndarray, perm: jnp.ndarray,
-                           chunk: int) -> jnp.ndarray:
-    """``transfer_weights`` per group of a (G·chunk, n_seg) stack."""
-    groups = e_w_g.shape[0] // chunk
+                           pc: PairChunks,
+                           pc_t: PairChunks) -> jnp.ndarray:
+    """``transfer_weights`` per group of a (n_mid, MID, G) stack
+    (``stack_group_weights`` layout), restacked for the transpose
+    packing."""
+    groups = e_w_g.shape[-1]
+
+    def back(w2):                        # (n_mid, mid) -> (chunk, n_seg)
+        return w2.reshape(pc.n_seg, pc.chunk).T
+
     return stack_group_weights(
-        transfer_weights(e_w_g[g * chunk:(g + 1) * chunk], perm, chunk)
-        for g in range(groups))
+        (transfer_weights(back(e_w_g[:, :, g]), perm, pc.chunk)
+         for g in range(groups)), pc_t)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -527,7 +559,7 @@ def _spmm_vjp_grouped_fwd(h, e_w_g, init, pc, pc_t, w_perm, e_w_g_t,
 
 def _spmm_vjp_grouped_bwd(keep_padded, res, g):
     e_w_g, pc, pc_t, w_perm, e_w_g_t_in, h_rows, init_rows = res
-    e_w_g_t = (transfer_group_weights(e_w_g, w_perm, pc.chunk)
+    e_w_g_t = (transfer_group_weights(e_w_g, w_perm, pc, pc_t)
                if e_w_g_t_in is None else e_w_g_t_in)
     dh = spmm_pair_chunks_grouped(pc_t, g, e_w_g_t, None,
                                   keep_padded=keep_padded)

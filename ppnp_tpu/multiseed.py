@@ -48,7 +48,7 @@ from ppnp_tpu.data.sparsegraph import SparseGraph
 from ppnp_tpu.earlystopping import EarlyStopping
 from ppnp_tpu.metrics import accuracy, macro_f1
 from ppnp_tpu.models.appnp import init_mlp_params
-from ppnp_tpu.ops.dropout import dropout, edge_dropout_by_id
+from ppnp_tpu.ops.dropout import dropout, edge_dropout_by_id_grouped
 from ppnp_tpu.ops.propagation import propagate_grouped
 from ppnp_tpu.ops.sparse_input import SparseInput
 from ppnp_tpu.train import (_host_scalars, default_idx_split_args,
@@ -61,7 +61,8 @@ __all__ = ["train_models", "grouped_forward"]
 
 def _grouped_mlp(params_g, x, keys_mlp_g, *, train: bool, drop_prob: float,
                  groups: int) -> jnp.ndarray:
-    """Per-seed MLP towers → (n, G·c) stacked local logits.
+    """Per-seed MLP towers → (n, G·c) stacked local logits (seed g's
+    classes in lanes [g·c, (g+1)·c) — the grouped kernel's layout).
 
     ``params_g``: list of (G, d_in, d_out) weights; ``keys_mlp_g``: one
     MLP-stream key per seed (split per layer exactly as ``mlp_forward``
@@ -111,29 +112,22 @@ def _grouped_mlp(params_g, x, keys_mlp_g, *, train: bool, drop_prob: float,
     w1p = jnp.pad(w1s, ((0, pc.n_cols_pad - x.n_features), (0, 0)))
     if use_drop:
         k0 = keys_mlp[:, 0]
-        e_w_g = jax.vmap(
-            lambda k: edge_dropout_by_id(k, pc, drop_prob))(k0)
-        e_w_g_t = jax.vmap(
-            lambda k: edge_dropout_by_id(k, pc_t, drop_prob))(k0)
-        parts = []
-        for lo in range(0, groups, sub):
-            hi = min(lo + sub, groups)
-            parts.append(_spmm_vjp_grouped(
-                w1p[:, lo * h1:hi * h1],
-                e_w_g[lo:hi].reshape(-1, e_w_g.shape[-1]), None, pc,
-                pc_t, x.w_perm,
-                e_w_g_t[lo:hi].reshape(-1, e_w_g_t.shape[-1]), False))
+        e_w_g = edge_dropout_by_id_grouped(k0, pc, drop_prob)
+        e_w_g_t = edge_dropout_by_id_grouped(k0, pc_t, drop_prob)
+        parts = [_spmm_vjp_grouped(
+            w1p[:, lo * h1:min(lo + sub, groups) * h1],
+            e_w_g[:, :, lo:min(lo + sub, groups)], None, pc, pc_t,
+            x.w_perm, e_w_g_t[:, :, lo:min(lo + sub, groups)], False)
+            for lo in range(0, groups, sub)]
         h = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     else:
         # Eval: every seed shares X's stored values — the ordinary
         # (single-weight-set) VJP on the lane-stacked W, sub-batched
         # under the same VMEM budget.
-        parts = []
-        for lo in range(0, groups, sub):
-            hi = min(lo + sub, groups)
-            parts.append(_spmm_vjp(w1p[:, lo * h1:hi * h1], pc.e_w,
-                                   None, pc, pc_t, x.w_perm, pc_t.e_w,
-                                   False))
+        parts = [_spmm_vjp(w1p[:, lo * h1:min(lo + sub, groups) * h1],
+                           pc.e_w, None, pc, pc_t, x.w_perm, pc_t.e_w,
+                           False)
+                 for lo in range(0, groups, sub)]
         h = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     n = h.shape[0]
     h = jax.nn.relu(h).reshape(n, groups, h1)

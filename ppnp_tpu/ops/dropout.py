@@ -15,7 +15,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dropout", "edge_dropout", "edge_dropout_by_id"]
+__all__ = ["dropout", "edge_dropout", "edge_dropout_by_id",
+           "edge_dropout_by_id_grouped"]
 
 
 def dropout(key: jax.Array, x: jnp.ndarray, rate: float) -> jnp.ndarray:
@@ -72,3 +73,36 @@ def edge_dropout_by_id(key: jax.Array, pc, rate: float) -> jnp.ndarray:
     thresh = np.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
     return jnp.where(bits < thresh, pc.e_w / keep,
                      jnp.zeros_like(pc.e_w))
+
+
+def edge_dropout_by_id_grouped(keys: jax.Array, pc,
+                               rate: float) -> jnp.ndarray:
+    """G id-keyed edge-dropout mask sets → (n_mid, MID, G), the grouped
+    SpMM kernel's weight layout (``stack_group_weights``), in ONE fused
+    threefry pass.
+
+    Per (key, edge) the Bernoulli draw is BIT-IDENTICAL to
+    ``edge_dropout_by_id(keys[g], pc, rate)`` — the hash depends only
+    on the canonical edge id — so per-seed parity with the sequential
+    path holds. Generating directly in kernel order matters for speed:
+    stacking G per-slot mask sets with ``stack_group_weights`` inside
+    the training scan transposes ~nnz·G key-DEPENDENT values every
+    power iteration (measured +9 ms/epoch at MS Academic scale),
+    whereas here only the constant id/weight arrays are re-laid-out —
+    loop-invariant work XLA hoists out of the scan.
+    """
+    G = keys.shape[0]
+    n_mid, mid = pc.n_mid, pc.mid
+    w_mid = pc.e_w.T.reshape(n_mid, mid)          # loop-invariant
+    if rate <= 0.0:
+        return jnp.broadcast_to(w_mid[:, :, None], (n_mid, mid, G))
+    from ppnp_tpu.ops.hashrng import threefry2x32
+    keep = 1.0 - rate
+    c0 = pc.eid_hi.T.reshape(n_mid, mid)[:, :, None]   # loop-invariant
+    c1 = pc.eid_lo.T.reshape(n_mid, mid)[:, :, None]
+    k = jnp.asarray(keys, jnp.uint32).reshape(G, -1)
+    bits, _ = threefry2x32(k[:, 0][None, None, :],
+                           k[:, 1][None, None, :], c0, c1)
+    thresh = np.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
+    return jnp.where(bits < thresh, (w_mid / keep)[:, :, None],
+                     jnp.zeros_like(bits, jnp.float32))

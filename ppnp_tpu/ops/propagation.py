@@ -26,7 +26,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ppnp_tpu.ops.dropout import dropout, edge_dropout, edge_dropout_by_id
+from ppnp_tpu.ops.dropout import (dropout, edge_dropout,
+                                  edge_dropout_by_id,
+                                  edge_dropout_by_id_grouped)
 from ppnp_tpu.ops.sparse import EdgeList
 
 __all__ = ["spmm_edge_list", "spmm", "PPRPowerIteration",
@@ -323,9 +325,8 @@ def _propagate_grouped_pallas(prop, h0, keys, groups):
                        for g in range(groups)], axis=1)  # (niter, G, 2)
 
     def masks(ks, packing):
-        w = jax.vmap(
-            lambda k: edge_dropout_by_id(k, packing, prop.drop_prob))(ks)
-        return one_minus_alpha * w.reshape(-1, w.shape[-1])
+        return one_minus_alpha * edge_dropout_by_id_grouped(
+            ks, packing, prop.drop_prob)
 
     def step(h, ks):
         w_g = masks(ks, pc)

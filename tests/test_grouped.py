@@ -48,7 +48,7 @@ def test_grouped_matches_per_group_calls():
     (the per-edge product reassociation (1·h)·w vs (w·1)·h is a single
     rounding either way)."""
     _, pc, h, ws, cg, groups = _setup()
-    out = spmm_pair_chunks_grouped(pc, h, stack_group_weights(ws),
+    out = spmm_pair_chunks_grouped(pc, h, stack_group_weights(ws, pc),
                                    interpret=True)
     for g in range(groups):
         ref = spmm_pair_chunks(pc, h[:, g * cg:(g + 1) * cg], e_w=ws[g],
@@ -60,7 +60,7 @@ def test_grouped_matches_per_group_calls():
 def test_grouped_matches_scipy():
     a, pc, h, ws, cg, groups = _setup(n=257, density=0.015, cg=4, groups=4,
                                       seed=3)
-    out = spmm_pair_chunks_grouped(pc, h, stack_group_weights(ws),
+    out = spmm_pair_chunks_grouped(pc, h, stack_group_weights(ws, pc),
                                    interpret=True)
     # scipy oracle per group: rebuild the masked operator from slot coords
     from ppnp_tpu.ops.pairchunks import _slot_coords
@@ -80,9 +80,9 @@ def test_grouped_init_fuses_alpha_mix():
     _, pc, h, ws, cg, groups = _setup(seed=5)
     init = jnp.asarray(np.random.RandomState(9).randn(
         pc.n_rows_pad, groups * cg).astype(np.float32))
-    out = spmm_pair_chunks_grouped(pc, h, stack_group_weights(ws),
+    out = spmm_pair_chunks_grouped(pc, h, stack_group_weights(ws, pc),
                                    init=init, interpret=True)
-    base = spmm_pair_chunks_grouped(pc, h, stack_group_weights(ws),
+    base = spmm_pair_chunks_grouped(pc, h, stack_group_weights(ws, pc),
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(base) + np.asarray(init[:pc.n_rows]),
@@ -113,8 +113,8 @@ def test_grouped_vjp_matches_per_group_grads():
     f1 = make_spmm_grad(pc, pc_t, perm)
 
     def loss_grouped(hh):
-        return jnp.sum(fg(hh, stack_group_weights(ws), None,
-                          stack_group_weights(ws_t)) ** 2)
+        return jnp.sum(fg(hh, stack_group_weights(ws, pc), None,
+                          stack_group_weights(ws_t, pc_t)) ** 2)
 
     g_grouped = jax.grad(loss_grouped)(h)
     for g in range(groups):
@@ -215,7 +215,7 @@ def test_grouped_vjp_fallback_weight_transfer():
     fg = make_spmm_grad_grouped(pc, pc_t, perm)
 
     def loss(hh, with_t):
-        e_w_g = stack_group_weights(ws)
+        e_w_g = stack_group_weights(ws, pc)
         return jnp.sum(fg(hh, e_w_g, None, None) ** 2)
 
     g_fallback = jax.grad(lambda hh: loss(hh, False))(h)
