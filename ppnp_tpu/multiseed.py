@@ -51,8 +51,9 @@ from ppnp_tpu.models.appnp import init_mlp_params
 from ppnp_tpu.ops.dropout import dropout, edge_dropout_by_id_grouped
 from ppnp_tpu.ops.propagation import propagate_grouped
 from ppnp_tpu.ops.sparse_input import SparseInput
-from ppnp_tpu.train import (_host_scalars, default_idx_split_args,
-                            default_stopping_args, prepare_attr_input)
+from ppnp_tpu.train import (_check_prepared_input, _host_scalars,
+                            default_idx_split_args, default_stopping_args,
+                            prepare_attr_input)
 
 logger = logging.getLogger(__name__)
 
@@ -130,7 +131,11 @@ def _grouped_mlp(params_g, x, keys_mlp_g, *, train: bool, drop_prob: float,
                  for lo in range(0, groups, sub)]
         h = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     n = h.shape[0]
-    h = jax.nn.relu(h).reshape(n, groups, h1)
+    # fc1 is the output layer when hidden_units=() — mlp_forward's
+    # last-layer rule applies no activation there.
+    if n_layers > 1:
+        h = jax.nn.relu(h)
+    h = h.reshape(n, groups, h1)
     for i in range(1, n_layers):
         if use_drop:
             h = jax.vmap(lambda k, hh: dropout(k, hh, drop_prob),
@@ -301,10 +306,17 @@ def train_models(
         np.stack([labels_np[s[0]] for s in splits]))
     y_stop_g = jnp.asarray(np.stack([labels_np[s[1]] for s in splits]))
 
-    x = (x_prepared if x_prepared is not None
-         else prepare_attr_input(graph, propagator, x_format=x_format,
-                                 x_dtype=x_dtype, dtype=dtype,
-                                 hidden=max(hidden_units, default=64)))
+    if x_prepared is not None:
+        # Same call-boundary validation as train_model: a staged X from
+        # a different graph/propagator or mismatched format otherwise
+        # fails deep inside the jitted chunk with an opaque shape error.
+        _check_prepared_input(x_prepared, graph, propagator,
+                              x_format=x_format, x_dtype=x_dtype)
+        x = x_prepared
+    else:
+        x = prepare_attr_input(graph, propagator, x_format=x_format,
+                               x_dtype=x_dtype, dtype=dtype,
+                               hidden=max(hidden_units, default=64))
 
     n_classes = int(labels_np.max()) + 1
     params_list, key_epochs_list = [], []
@@ -350,9 +362,13 @@ def train_models(
         act = ~stopped
         if not np.isfinite(losses[:, act]).all():
             bad = np.argwhere(~np.isfinite(losses[:, act]))[0]
+            # bad[1] indexes the active-seed subset; map back to the
+            # global seed position before reporting.
+            g_bad = int(np.where(act)[0][bad[1]])
             raise FloatingPointError(
                 f"non-finite training loss at epoch "
-                f"{chunk_start + bad[0]} (seed index {bad[1]})")
+                f"{chunk_start + bad[0]} (seed {seeds[g_bad]}, "
+                f"index {g_bad})")
 
         replay = False
         for g in range(groups):

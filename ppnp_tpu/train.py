@@ -9,8 +9,12 @@ L2 (reg_lambda/2·Σ‖W_fc1‖²) on the first layer only, Adam lr=0.01.
 
 TPU-native differences:
 
-- the train step and the evaluation are single jitted functions (donated
-  params/opt-state buffers; no Python inside the step);
+- the train step and the evaluation are single jitted functions (no
+  Python inside the step). Buffer donation is deliberately OFF: the
+  early-stopping replay re-issues a chunk from the pre-chunk
+  (params, opt_state, best) tuple, so those buffers must survive the
+  first call — at paper scale the extra copies are ~2 MB; the 500k-node
+  blocked config trains through its own probe path;
 - the propagation operator is a pytree captured in the jitted closures —
   power-iteration (APPNP), exact Π (PPNP), or the sharded operator from
   ``ppnp_tpu.parallel`` all fit the same callable protocol;
@@ -220,6 +224,11 @@ def prepare_attr_input(graph: SparseGraph, propagator, *,
             raise ValueError("x_format='sparse' is not supported with "
                              "sharded propagators (the MLP tower is "
                              "data-parallel over dense X there)")
+        if x_dtype is not None and jnp.dtype(x_dtype) != jnp.dtype(
+                jnp.float32):
+            logger.warning(
+                "x_dtype=%s ignored on the sparse path (the pair-chunks "
+                "fc1 kernel runs float32)", jnp.dtype(x_dtype).name)
         from ppnp_tpu.ops.sparse_input import build_sparse_input
         if not sp.issparse(attr_norm):
             attr_norm = sp.csr_matrix(attr_norm)
@@ -276,12 +285,13 @@ def _check_prepared_input(x, graph, propagator, *, x_format, x_dtype):
         want = jnp.dtype(x_dtype)
         if is_sparse:
             # The sparse kernel path always runs f32 (SparseInput.matmul
-            # force-casts) — an explicit non-f32 request cannot be
-            # honored by a staged sparse X.
+            # force-casts); an explicit non-f32 request is ignored — the
+            # same warn-and-run rule as prepare_attr_input's sparse path,
+            # so staged and unstaged calls behave identically.
             if want != jnp.dtype(jnp.float32):
-                raise ValueError(
-                    f"x_dtype={want.name} requested but x_prepared is a "
-                    "SparseInput, whose kernel path runs float32")
+                logger.warning(
+                    "x_dtype=%s ignored on the sparse path (the pair-"
+                    "chunks fc1 kernel runs float32)", want.name)
         elif jnp.dtype(x.dtype) != want:
             raise ValueError(
                 f"x_dtype={want.name} requested but x_prepared was "

@@ -1,18 +1,21 @@
 """End-to-end TRAINING at 500k nodes on one chip (blocked backend).
 
-The reference's largest graph is MS Academic (n=18.3k — SURVEY.md §2.1
-"its ceiling"); bench --blocked-scale already measures eval-mode
-propagation at 500k/5M. This probe runs the FULL training pipeline at
-that scale — sparse first layer through the pair-chunks kernel, K=10
-blocked propagation fwd + transpose backward + stopping-set eval, Adam,
-early stopping — and records per-epoch cost + learnability evidence.
+Maintained entry point (the source of BASELINE.md's "END-TO-END
+TRAINING at 500k nodes" row). The reference's largest graph is MS
+Academic (n=18.3k — SURVEY.md §2.1 "its ceiling"); bench
+--blocked-scale measures eval-mode propagation at 500k/5M. This script
+runs the FULL training pipeline at that scale — dense X (auto falls
+back from the sparse fc1 above its VMEM bound), K=10 blocked
+propagation fwd + transpose backward + stopping-set eval per epoch,
+Adam, patience-100 early stopping — and prints one JSON line with
+per-epoch cost + learnability evidence.
 
 Synthetic banded homophilous graph (what a citation graph looks like
 after RCM — same shape family as bench_blocked/bench_ingest):
 labels = position block, edges ~N(0, bandwidth) off the diagonal so
 ~95% are intra-class; attributes are a class-informative bag of words.
 
-Usage: python scripts/_blocked_train_probe.py [n_nodes] [max_epochs]
+Usage: python scripts/blocked_train.py [n_nodes] [max_epochs]
 """
 import json
 import os
