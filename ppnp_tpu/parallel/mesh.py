@@ -11,7 +11,7 @@ transport code.
 from __future__ import annotations
 
 import logging
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -19,11 +19,21 @@ from jax.sharding import Mesh
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["make_mesh", "initialize_distributed", "NODE_AXIS"]
+__all__ = ["make_mesh", "make_hier_mesh", "initialize_distributed",
+           "NODE_AXIS", "DCN_AXIS", "ICI_AXIS"]
 
 # The single mesh axis: nodes are sharded along it; MLP weights are
 # replicated across it.
 NODE_AXIS = "data"
+
+# The hierarchical 2-axis mesh (BASELINE.json:5 / SURVEY.md §5 comm
+# row: boundary exchange "over ICI intra-slice and DCN across
+# slices"): the outer axis enumerates pod slices (collectives over it
+# ride the data-center network), the inner axis enumerates chips
+# within a slice (collectives ride the on-chip interconnect). Nodes
+# are row-sharded over BOTH axes jointly: P((DCN_AXIS, ICI_AXIS), ...).
+DCN_AXIS = "dcn"
+ICI_AXIS = "ici"
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -56,3 +66,27 @@ def make_mesh(n_devices: Optional[int] = None,
                 "available")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_hier_mesh(n_slices: int, per_slice: int,
+                   devices: Optional[Sequence[jax.Device]] = None,
+                   axis_names: Tuple[str, str] = (DCN_AXIS, ICI_AXIS)
+                   ) -> Mesh:
+    """A 2-axis ``(n_slices, per_slice)`` mesh: DCN outer, ICI inner.
+
+    On a real multi-slice pod the device order from ``jax.devices()``
+    groups chips by slice, so reshaping to ``(n_slices, per_slice)``
+    puts each slice's chips on one row of the mesh — collectives over
+    the inner axis stay on ICI, collectives over the outer axis cross
+    DCN. Shard ``d = s·per_slice + i`` (slice ``s``, intra-slice
+    position ``i``) matches ``P((dcn, ici))``'s row-major placement.
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = n_slices * per_slice
+    if need > len(devices):
+        raise ValueError(
+            f"requested {n_slices}x{per_slice} devices, only "
+            f"{len(devices)} available")
+    grid = np.asarray(devices[:need]).reshape(n_slices, per_slice)
+    return Mesh(grid, axis_names)

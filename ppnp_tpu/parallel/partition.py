@@ -215,15 +215,41 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
     permutations (eval-only uses, e.g. the scaling benchmark) and
     returns ``((pc_i, pc_b), None, None)``.
     """
+    dst = np.asarray(sg.dst)
+    src = np.asarray(sg.src)
+    w = np.asarray(sg.w)
+    ip = sg.interior_pad
+    interior = _pack_stacked_operators(
+        dst, src, w, sg.n_shards, sg.shard_rows, slice(None, ip),
+        sg.shard_rows, 0, with_adjoint=with_adjoint, **dict(pack_kwargs))
+    boundary = _pack_stacked_operators(
+        dst, src, w, sg.n_shards, sg.shard_rows, slice(ip, None),
+        sg.n_shards * sg.boundary, sg.shard_rows,
+        with_adjoint=with_adjoint, **dict(pack_kwargs))
+    if not with_adjoint:
+        return (interior[0], boundary[0]), None, None
+    return ((interior[0], boundary[0]), (interior[1], boundary[1]),
+            (interior[2], boundary[2]))
+
+
+def _pack_stacked_operators(dst, src, w, n_shards, shard_rows, sl, n_cols,
+                            col_off, *, with_adjoint=True, **pack_kwargs):
+    """Pack ONE per-shard operator part for every shard and stack.
+
+    ``sl`` selects the part's static edge-axis range in the per-shard
+    arrays; the part's matrix is ``(shard_rows × n_cols)`` with columns
+    shifted by ``-col_off`` (into the part's gather-table region).
+    Shared by the flat (``build_sharded_pair_chunks``) and hierarchical
+    (``hier.build_hier_pair_chunks``) builders. Returns
+    ``(pc_stacked, pc_t_stacked, perm)`` with ``None`` tails when
+    ``with_adjoint`` is off.
+    """
     import jax.numpy as jnp
     from ppnp_tpu.ops.pairchunks import (packer_for, pad_stack_pair_chunks,
                                          slot_permutation,
                                          stack_slot_permutations,
                                          transpose_ids, transpose_pair)
 
-    dst = np.asarray(sg.dst)
-    src = np.asarray(sg.src)
-    w = np.asarray(sg.w)
     # Pack host-side; slot_permutation below reads the slot arrays, and
     # device round-trips are very slow on tunneled platforms. The
     # stacking step uploads everything once.
@@ -236,32 +262,22 @@ def build_sharded_pair_chunks(sg: ShardedGraph,
     t_kwargs["edge_ids"] = transpose_ids(
         pack_kwargs.get("edge_ids", "direct"))
 
-    def pack_part(sl, n_cols, col_off):
-        pcs, pcts, perms = [], [], []
-        for d in range(sg.n_shards):
-            real = w[d, sl] != 0
-            a_d = sp.coo_matrix(
-                (w[d, sl][real],
-                 (dst[d, sl][real], src[d, sl][real] - col_off)),
-                shape=(sg.shard_rows, n_cols)).tocsr()
-            pcs.append(packer(a_d, **pack_kwargs))
-            if with_adjoint:
-                pc_t = transpose_pair(a_d, layout=layout, **t_kwargs)
-                perms.append(slot_permutation(pcs[-1], pc_t))
-                pcts.append(pc_t)
-        pc_stacked = pad_stack_pair_chunks(pcs)
-        if not with_adjoint:
-            return pc_stacked, None, None
-        pcts_stacked = pad_stack_pair_chunks(pcts)
-        n_slots_t = int(pcts_stacked.e_src.shape[-1]) * pcts[0].chunk
-        perm = stack_slot_permutations(perms, n_slots_t)
-        return pc_stacked, pcts_stacked, jnp.asarray(perm)
-
-    ip = sg.interior_pad
-    interior = pack_part(slice(None, ip), sg.shard_rows, 0)
-    boundary = pack_part(slice(ip, None), sg.n_shards * sg.boundary,
-                         sg.shard_rows)
+    pcs, pcts, perms = [], [], []
+    for d in range(n_shards):
+        real = w[d, sl] != 0
+        a_d = sp.coo_matrix(
+            (w[d, sl][real],
+             (dst[d, sl][real], src[d, sl][real] - col_off)),
+            shape=(shard_rows, n_cols)).tocsr()
+        pcs.append(packer(a_d, **pack_kwargs))
+        if with_adjoint:
+            pc_t = transpose_pair(a_d, layout=layout, **t_kwargs)
+            perms.append(slot_permutation(pcs[-1], pc_t))
+            pcts.append(pc_t)
+    pc_stacked = pad_stack_pair_chunks(pcs)
     if not with_adjoint:
-        return (interior[0], boundary[0]), None, None
-    return ((interior[0], boundary[0]), (interior[1], boundary[1]),
-            (interior[2], boundary[2]))
+        return pc_stacked, None, None
+    pcts_stacked = pad_stack_pair_chunks(pcts)
+    n_slots_t = int(pcts_stacked.e_src.shape[-1]) * pcts[0].chunk
+    perm = stack_slot_permutations(perms, n_slots_t)
+    return pc_stacked, pcts_stacked, jnp.asarray(perm)
