@@ -104,6 +104,14 @@ def measure_once(tier_idx: int) -> int:
             "fraction_of_hbm_sol": round(best["fraction_of_sol"], 4),
             "device": res["device"],
         }
+        # Binding-roofline fields (VERDICT r4 item 5): the op is
+        # MXU-issue-bound; fraction_of_hbm_sol above is diagnostic only
+        # (docs/PERFORMANCE.md). 1.0 on fraction_of_issue_floor = at
+        # the zero-padding one-hot issue floor.
+        for k in ("fraction_of_issue_floor", "padding_frac",
+                  "issue_floor_us", "issue_model_us"):
+            if k in best:
+                line[k] = round(best[k], 4)
         if "xla" in backends:
             line["vs_baseline"] = round(
                 best["steps_per_s"] / backends["xla"]["steps_per_s"], 3)

@@ -36,9 +36,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--test", action="store_true",
                    help="evaluate on the held-out test population")
     p.add_argument("--backend", default="xla",
-                   choices=["xla", "pallas", "blocked"],
+                   choices=["xla", "pallas", "blocked", "fused"],
                    help="SpMM path: blocked = HBM-streaming row "
-                        "blocks for graphs larger than VMEM")
+                        "blocks for graphs larger than VMEM; fused = "
+                        "all K steps in ONE kernel dispatch (the "
+                        "serving-latency path)")
     p.add_argument("--rows-per-block", type=int, default=16384)
     p.add_argument("--layout", default="banded",
                    choices=["banded", "aligned", "auto"],
@@ -195,6 +197,11 @@ def _cmd_bench_inner(args) -> int:
     elif args.retrieval:
         from ppnp_tpu.benchmarks import bench_retrieval
         res = bench_retrieval(dataset=args.dataset)
+    elif args.serving:
+        from ppnp_tpu.benchmarks import bench_serving
+        res = bench_serving(dataset=args.dataset,
+                            backends=tuple(args.backends),
+                            iters=args.iters if args.iters != 10 else 50)
     elif args.ingest:
         from ppnp_tpu.benchmarks import bench_ingest
         res = bench_ingest()
@@ -432,6 +439,9 @@ def main(argv=None) -> int:
                         "eval fwd / MLP vs propagation, ms each)")
     p.add_argument("--retrieval", action="store_true",
                    help="top-k retrieval queries/s")
+    p.add_argument("--serving", action="store_true",
+                   help="warm single-forward serving latency p50/p99 "
+                        "per backend (fused vs per-step scan vs xla)")
     p.add_argument("--blocked-scale", action="store_true",
                    help="XLA vs HBM-streaming blocked backend on a "
                         "VMEM-exceeding synthetic banded graph")

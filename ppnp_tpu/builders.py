@@ -78,7 +78,7 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
                         drop_prob=cfg.drop_prob)
     if cfg.propagation == "power":
         pc = pc_t = perm = None
-        if cfg.backend == "pallas":
+        if cfg.backend in ("pallas", "fused"):
             import numpy as np
             import jax.numpy as jnp
             from ppnp_tpu.ops.pairchunks import (packer_for,

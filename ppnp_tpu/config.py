@@ -39,7 +39,7 @@ class RunConfig:
     propagation: str = "power"   # power | exact | sharded
     alpha: Optional[float] = None  # None → dataset default
     niter: int = 10
-    backend: str = "xla"         # xla | pallas | blocked (SpMM path)
+    backend: str = "xla"         # xla | pallas | blocked | fused (SpMM path)
     layout: str = "banded"       # pallas packing: banded | aligned | auto
     exchange: str = "alltoall"   # sharded: alltoall | allgather
     n_shards: Optional[int] = None  # sharded: None → all devices

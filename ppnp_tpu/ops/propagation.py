@@ -103,6 +103,8 @@ class PPRPowerIteration:
         if self.backend == "blocked":
             return self._propagate_blocked(h0, key=key,
                                            apply_drop=apply_drop)
+        if self.backend == "fused":
+            return self._propagate_fused(h0, key=key, apply_drop=apply_drop)
 
         alpha_h0 = self.alpha * h0
         if apply_drop:
@@ -233,6 +235,61 @@ class PPRPowerIteration:
         hp = hp[:n]
         if bpc.iperm is not None:
             hp = jnp.take(hp, bpc.iperm, axis=0)
+        return hp
+
+    def _propagate_fused(self, h0: jnp.ndarray, *, key, apply_drop):
+        """Single-dispatch path: ALL K steps in ONE Pallas kernel.
+
+        ``kernels/fused.py``: the edge arrays load into VMEM once, H
+        ping-pongs between two VMEM buffers, only H⁰-in / H_K-out touch
+        HBM. Removes the ~160µs per-kernel-call overhead K−1 times —
+        the dominant cost of a small-graph SERVING forward (predict /
+        retrieval embedding build), where one forward is one dispatch
+        chain rather than an amortized epoch chunk. Training-throughput
+        measurements show it identical to the per-step scan once chunk
+        dispatch is amortized (docs/PERFORMANCE.md), so the scan stays
+        the training default; this backend is the latency path.
+        """
+        from ppnp_tpu.kernels.fused import (appnp_fused,
+                                            make_appnp_fused_grad)
+
+        pc, pc_t = self.pair_chunks, self.pair_chunks_t
+        if pc is None:
+            raise ValueError("fused backend requires pair_chunks")
+        one_minus_alpha = 1.0 - self.alpha
+        n = h0.shape[0]
+        hp = jnp.take(h0, pc.perm, axis=0) if pc.perm is not None else h0
+        # Pad BEFORE the custom_vjp: its adjoint returns an n_pad-row
+        # cotangent, which must match the primal's shape.
+        hp = jnp.pad(hp, ((0, pc.n_rows_pad - n), (0, 0)))
+
+        if apply_drop:
+            use_ids = (pc.eid_hi is not None and pc_t is not None
+                       and pc_t.eid_hi is not None)
+            if not use_ids:
+                raise ValueError(
+                    "fused train mode requires id-keyed packings "
+                    "(forward + transpose with edge ids) so per-"
+                    "iteration masks regenerate in the adjoint")
+            keys = jax.random.split(key, self.niter)
+            planes = one_minus_alpha * jax.vmap(
+                lambda k: edge_dropout_by_id(k, pc, self.drop_prob))(keys)
+            planes_t = one_minus_alpha * jax.vmap(
+                lambda k: edge_dropout_by_id(k, pc_t,
+                                             self.drop_prob))(keys)
+            f = make_appnp_fused_grad(pc, pc_t, alpha=self.alpha,
+                                      niter=self.niter)
+            hp = f(hp, planes, planes_t)
+        elif pc_t is not None:
+            f = make_appnp_fused_grad(pc, pc_t, alpha=self.alpha,
+                                      niter=self.niter)
+            hp = f(hp)
+        else:
+            hp = appnp_fused(pc, hp, alpha=self.alpha, niter=self.niter)
+
+        hp = hp[:n]
+        if pc.iperm is not None:
+            hp = jnp.take(hp, pc.iperm, axis=0)
         return hp
 
     def __call__(self, h_local: jnp.ndarray, idx: Optional[jnp.ndarray] = None,

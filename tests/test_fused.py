@@ -126,3 +126,36 @@ def test_fused_odd_niter(setup):
                 assume_permuted=True, keep_padded=True, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_backend_via_builders(small_graph):
+    """backend='fused' wiring (VERDICT r4 item 3): build_propagator →
+    PPRPowerIteration._propagate_fused. Eval forward and grad match the
+    XLA scan; train mode (id-keyed mask planes through the fused
+    adjoint) runs and is stochastic across keys."""
+    from ppnp_tpu.builders import build_propagator
+    from ppnp_tpu.config import RunConfig
+
+    cfg_f = RunConfig(dataset="cora_ml", backend="fused", niter=4)
+    cfg_x = RunConfig(dataset="cora_ml", backend="xla", niter=4)
+    prop_f = build_propagator(cfg_f, small_graph)
+    prop_x = build_propagator(cfg_x, small_graph)
+    assert prop_f.backend == "fused" and prop_f.pair_chunks is not None
+
+    n = small_graph.num_nodes()
+    h0 = jnp.asarray(
+        np.random.RandomState(0).randn(n, 4).astype(np.float32))
+    z_f = np.asarray(prop_f(h0, train=False))
+    z_x = np.asarray(prop_x(h0, train=False))
+    np.testing.assert_allclose(z_f, z_x, rtol=1e-4, atol=1e-5)
+
+    g_f = jax.grad(lambda h: jnp.sum(prop_f(h, train=False) ** 2))(h0)
+    g_x = jax.grad(lambda h: jnp.sum(prop_x(h, train=False) ** 2))(h0)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
+                               rtol=1e-4, atol=1e-4)
+
+    z_t1 = prop_f(h0, train=True, key=jax.random.PRNGKey(0))
+    z_t2 = prop_f(h0, train=True, key=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(z_t1)).all()
+    assert not np.allclose(np.asarray(z_t1), np.asarray(z_t2))
