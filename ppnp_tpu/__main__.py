@@ -186,7 +186,9 @@ def _cmd_bench_inner(args) -> int:
                              backend=args.backends[0],
                              epochs=args.epochs,
                              x_dtype=_parse_x_dtype(args),
-                             x_format=getattr(args, "x_format", "auto"))
+                             x_format=getattr(args, "x_format", "auto"),
+                             propagation=getattr(args, "propagation",
+                                                 "power"))
     elif args.training_breakdown:
         from ppnp_tpu.benchmarks import bench_training_breakdown
         res = bench_training_breakdown(
@@ -442,6 +444,11 @@ def main(argv=None) -> int:
     p.add_argument("--serving", action="store_true",
                    help="warm single-forward serving latency p50/p99 "
                         "per backend (fused vs per-step scan vs xla)")
+    p.add_argument("--propagation", default="power",
+                   choices=["power", "sharded"],
+                   help="with --training: propagation operator family "
+                        "(sharded = full train epoch through "
+                        "ShardedPowerIteration on the real mesh)")
     p.add_argument("--blocked-scale", action="store_true",
                    help="XLA vs HBM-streaming blocked backend on a "
                         "VMEM-exceeding synthetic banded graph")
