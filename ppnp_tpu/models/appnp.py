@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ppnp_tpu.ops.dropout import dropout
-from ppnp_tpu.ops.sparse_input import SparseInput
+from ppnp_tpu.ops.sparse_input import ShardedSparseInput, SparseInput
 
 __all__ = ["init_mlp_params", "mlp_forward", "ppnp_forward", "l2_reg"]
 
@@ -61,11 +61,12 @@ def mlp_forward(params: MlpParams, x: jnp.ndarray, *,
         keys = jax.random.split(key, n_layers)
     h = x
     for i, w in enumerate(params):
-        if i == 0 and isinstance(x, SparseInput):
+        if i == 0 and isinstance(x, (SparseInput, ShardedSparseInput)):
             # Sparse first layer (the reference's MixedDropout∘
             # MixedLinear): input dropout = id-keyed edge dropout on X's
             # nnz values, fc1 = SpMM through the pair-chunks kernel —
-            # see ops/sparse_input.py.
+            # see ops/sparse_input.py. The sharded variant runs per
+            # shard inside shard_map (row-sharded output).
             h = x.matmul(w, key=keys[0] if use_drop else None,
                          train=train, drop_prob=drop_prob)
         else:

@@ -41,7 +41,7 @@ from ppnp_tpu.earlystopping import EarlyStopping, stopping_args as \
     default_stopping_args
 from ppnp_tpu.metrics import JsonlWriter, accuracy, macro_f1
 from ppnp_tpu.models.appnp import (init_mlp_params, l2_reg, ppnp_forward)
-from ppnp_tpu.ops.sparse_input import SparseInput
+from ppnp_tpu.ops.sparse_input import ShardedSparseInput, SparseInput
 
 logger = logging.getLogger(__name__)
 
@@ -220,18 +220,29 @@ def prepare_attr_input(graph: SparseGraph, propagator, *,
         raise ValueError(f"unknown x_format {x_format!r} "
                          "(expected 'auto', 'dense' or 'sparse')")
     if use_sparse:
-        if hasattr(propagator, "input_sharding"):
-            raise ValueError("x_format='sparse' is not supported with "
-                             "sharded propagators (the MLP tower is "
-                             "data-parallel over dense X there)")
         if x_dtype is not None and jnp.dtype(x_dtype) != jnp.dtype(
                 jnp.float32):
             logger.warning(
                 "x_dtype=%s ignored on the sparse path (the pair-chunks "
                 "fc1 kernel runs float32)", jnp.dtype(x_dtype).name)
-        from ppnp_tpu.ops.sparse_input import build_sparse_input
         if not sp.issparse(attr_norm):
             attr_norm = sp.csr_matrix(attr_norm)
+        if hasattr(propagator, "input_sharding"):
+            # Row-sharded sparse fc1 (ops/sparse_input.py
+            # ShardedSparseInput): X row-sliced on the propagator's
+            # shard grid, fc1 per shard inside shard_map — no exchange
+            # (X rows are owned), W's cotangent psummed by shard_map's
+            # transpose rule.
+            from ppnp_tpu.ops.sparse_input import \
+                build_sharded_sparse_input
+            g = propagator.graph
+            axes = ((propagator.dcn_axis, propagator.ici_axis)
+                    if hasattr(propagator, "dcn_axis")
+                    else (propagator.axis,))
+            return build_sharded_sparse_input(
+                attr_norm, shard_rows=g.shard_rows,
+                n_shards=g.n_shards, mesh=propagator.mesh, axes=axes)
+        from ppnp_tpu.ops.sparse_input import build_sparse_input
         return build_sparse_input(attr_norm, n_rows=max(
             n_rows, attr_norm.shape[0]))
     x_np = _densify_attributes(attr_norm)
@@ -259,8 +270,8 @@ def _check_prepared_input(x, graph, propagator, *, x_format, x_dtype):
     chunk with an opaque shape error when the propagator's padded row
     count disagrees). Cheap metadata checks only — no device traffic.
     """
-    from ppnp_tpu.ops.sparse_input import SparseInput
-    is_sparse = isinstance(x, SparseInput)
+    from ppnp_tpu.ops.sparse_input import ShardedSparseInput, SparseInput
+    is_sparse = isinstance(x, (SparseInput, ShardedSparseInput))
     if x_format == "sparse" and not is_sparse:
         raise ValueError("x_prepared is a dense array but x_format="
                          "'sparse' was requested; re-stage with "
@@ -269,10 +280,17 @@ def _check_prepared_input(x, graph, propagator, *, x_format, x_dtype):
         raise ValueError("x_prepared is a SparseInput but x_format="
                          "'dense' was requested; re-stage with "
                          "prepare_attr_input(..., x_format='dense')")
-    if is_sparse and hasattr(propagator, "input_sharding"):
-        raise ValueError("x_format='sparse' is not supported with "
-                         "sharded propagators (the MLP tower is "
-                         "data-parallel over dense X there)")
+    sharded_prop = hasattr(propagator, "input_sharding")
+    if isinstance(x, SparseInput) and sharded_prop:
+        raise ValueError("x_prepared is an unsharded SparseInput but the "
+                         "propagator is sharded; re-stage with "
+                         "prepare_attr_input(graph, sharded_propagator, "
+                         "x_format='sparse') to get the row-sharded "
+                         "packing")
+    if isinstance(x, ShardedSparseInput) and not sharded_prop:
+        raise ValueError("x_prepared is a ShardedSparseInput but the "
+                         "propagator is unsharded; re-stage with the "
+                         "unsharded propagator")
     n_attr, n_feat = graph.attr_matrix.shape
     n_need = max(int(getattr(propagator, "n_rows", n_attr)), n_attr)
     if tuple(x.shape) != (n_need, n_feat):
@@ -581,7 +599,8 @@ def train_model(
         }
     nepochs = last_epoch + 1
     result.update(
-        x_format="sparse" if isinstance(x, SparseInput) else "dense",
+        x_format=("sparse" if isinstance(
+            x, (SparseInput, ShardedSparseInput)) else "dense"),
         runtime=runtime,
         runtime_perepoch=runtime / max(nepochs, 1),
         chunk_times=chunk_times,

