@@ -600,3 +600,43 @@ def test_cli_info_health(capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["health"]["status"] == "healthy"
     assert out["health"]["matmul20_chain_s"] > 0
+
+
+def test_issue_floor_stats():
+    """Binding-roofline fields (VERDICT r4 item 5): padding fraction and
+    the calibrated issue-floor model behave sanely on a real packing."""
+    import scipy.sparse as sp
+
+    from ppnp_tpu.benchmarks import issue_floor_stats
+    from ppnp_tpu.ops.pairchunks import pair_chunks_banded
+
+    rng = np.random.RandomState(0)
+    a = sp.random(600, 600, density=0.01, random_state=rng,
+                  format="csr", dtype=np.float32)
+    pc = pair_chunks_banded(a, chunk=8, seg_per_mid=8, mids_per_step=4,
+                            device=False, use_native="never")
+    stats = issue_floor_stats(pc, c=128, step_s=200e-6)
+    assert 0.0 <= stats["padding_frac"] < 1.0
+    # The floor (zero padding) can never cost more than the actual
+    # packed geometry under the same model.
+    assert stats["issue_floor_us"] <= stats["issue_model_us"] + 1e-9
+    assert stats["fraction_of_issue_floor"] == pytest.approx(
+        stats["issue_floor_us"] / 200.0)
+    # Fuller packing -> smaller floor gap: a perfectly full synthetic
+    # packing has padding_frac == its structural minimum >= 0.
+    assert stats["fraction_of_issue_floor"] > 0.0
+
+
+def test_bench_serving_structure(monkeypatch):
+    """bench --serving returns the latency fields per backend (smoke on
+    the xla backend only - pallas/fused interpret compiles are the slow
+    tier's job)."""
+    from ppnp_tpu.benchmarks import bench_serving
+
+    res = bench_serving(dataset="cora_ml", backends=("xla",), iters=3,
+                        chain=2)
+    entry = res["backends"]["xla"]
+    for k in ("latency_ms_p50", "latency_ms_p99", "chained_ms",
+              "table_build_ms", "retrieve_topk_ms"):
+        assert k in entry and np.isfinite(entry[k]), (k, entry)
+    assert entry["latency_ms_p50"] <= entry["latency_ms_p99"]
