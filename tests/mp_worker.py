@@ -143,11 +143,61 @@ def main_sharded(backend="xla"):
               flush=True)
 
 
+def main_hier():
+    """Hierarchical two-level exchange with the DCN axis crossing a
+    REAL process boundary (2 slices × 1 chip): the inter-slice
+    all_to_all between co-positioned chips plus the (trivial) ICI
+    fan-out, checked against the host scipy oracle."""
+    from ppnp_tpu.data.synthetic import make_attributed_sbm
+    from ppnp_tpu.ops.normalize import calc_A_hat
+    from ppnp_tpu.parallel.hier import (HierShardedPowerIteration,
+                                        build_hier_sharded_graph)
+    from ppnp_tpu.parallel.mesh import make_hier_mesh
+
+    hmesh = make_hier_mesh(nprocs, 1)
+    ax = ("dcn", "ici")
+    g = make_attributed_sbm(300, 3, 32, 1200, seed=5).standardize()
+    a = calc_A_hat(g.adj_matrix)
+    hg = build_hier_sharded_graph(a, nprocs, 1)
+
+    def put(arr, spec):
+        arr = np.asarray(arr)
+        sharding = NamedSharding(hmesh, spec)
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
+
+    hg = hg.replace(
+        dst=put(hg.dst, P(ax)), src=put(hg.src, P(ax)),
+        src_global=put(hg.src_global, P(ax)), w=put(hg.w, P(ax)),
+        send_idx_ici=put(hg.send_idx_ici, P(ax)),
+        send_idx_dcn=put(hg.send_idx_dcn, P(ax)))
+    prop = HierShardedPowerIteration(graph=hg, mesh=hmesh, alpha=0.1,
+                                     niter=5)
+
+    rng = np.random.RandomState(0)
+    h0 = rng.randn(hg.n_pad, 8).astype(np.float32)
+    h0_g = put(h0, P(ax, None))
+    z = jax.jit(lambda h, p: p(h, train=False))(h0_g, prop)
+
+    from jax.experimental import multihost_utils
+    z_full = np.asarray(multihost_utils.process_allgather(z, tiled=True))
+
+    n = a.shape[0]
+    hh = h0[:n]
+    for _ in range(5):
+        hh = 0.9 * (a @ hh) + 0.1 * h0[:n]
+    err = float(np.max(np.abs(z_full[:n] - hh)) / np.max(np.abs(hh)))
+    print(f"proc {pid} hier_err {err:.2e}", flush=True)
+    assert err < 1e-4, err
+
+
 if mode == "fault":
     main_fault()
 elif mode == "sharded":
     main_sharded()
 elif mode == "sharded_pallas":
     main_sharded(backend="pallas")
+elif mode == "hier":
+    main_hier()
 else:
     raise SystemExit(f"unknown mode {mode}")

@@ -52,6 +52,17 @@ def test_multiprocess_sharded_propagation():
 
 
 @pytest.mark.slow
+def test_multiprocess_hier_dcn_exchange():
+    """Hierarchical two-level exchange with the DCN axis crossing a
+    REAL process boundary (2 slices × 1 chip each)."""
+    outs = _launch("hier", port=53415, timeout=300)
+    for rc, out in outs:
+        assert "heartbeat_ok" in out, out
+        assert rc == 0, out
+        assert "hier_err" in out, out
+
+
+@pytest.mark.slow
 def test_multiprocess_sharded_pallas():
     """The sharded pair-chunk kernel path (custom VJP + id-keyed edge
     dropout inside shard_map) under REAL multi-controller
