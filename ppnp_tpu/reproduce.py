@@ -86,7 +86,8 @@ def _batchable(cfg: RunConfig) -> bool:
 def run_seed_sweep(cfg: RunConfig,
                    seeds: Optional[Sequence[int]] = None,
                    out_path: Optional[str] = None,
-                   batched: Optional[bool] = None) -> Dict:
+                   batched: Optional[bool] = None,
+                   batch_size: Optional[int] = None) -> Dict:
     """Train cfg over seeds; returns {accuracies, mean, ci, ...}.
 
     ``batched=True`` trains ALL seeds simultaneously via
@@ -96,6 +97,11 @@ def run_seed_sweep(cfg: RunConfig,
     (None): batch exactly where supported. Per-seed results match the
     serial sweep (bit-exactly on CPU; MXU default-precision level on
     chip).
+
+    ``batch_size``: split a batched sweep into sub-batches of at most
+    this many seeds (one ``train_models`` call each). Caps the grouped
+    kernels' lane count and per-chunk resource footprint at large G —
+    each sub-batch still amortizes its propagation across its seeds.
     """
     seeds = list(seeds if seeds is not None else DEFAULT_SEEDS)
     graph = load_graph(cfg)
@@ -121,11 +127,15 @@ def run_seed_sweep(cfg: RunConfig,
     if batched:
         from ppnp_tpu.multiseed import train_models
         kw = {k: v for k, v in kwargs.items() if k != "seed"}
-        results = train_models(graph, propagator, seeds, **kw)
-        for seed, (_, res) in zip(seeds, results):
-            accs.append(res["valtest"]["accuracy"])
-            f1s.append(res["valtest"]["f1_score"])
-            logger.info("seed %d (batched): acc %.4f", seed, accs[-1])
+        step = int(batch_size) if batch_size else len(seeds)
+        for lo in range(0, len(seeds), step):
+            sub = seeds[lo:lo + step]
+            results = train_models(graph, propagator, sub, **kw)
+            for seed, (_, res) in zip(sub, results):
+                accs.append(res["valtest"]["accuracy"])
+                f1s.append(res["valtest"]["f1_score"])
+                logger.info("seed %d (batched): acc %.4f", seed,
+                            accs[-1])
     else:
         for i, seed in enumerate(seeds):
             # Each sweep seed drives both the split sample and the init,
