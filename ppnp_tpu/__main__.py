@@ -127,7 +127,10 @@ def cmd_reproduce(args) -> int:
     if args.all:
         from ppnp_tpu.reproduce import run_full_table
         rows = run_full_table(base_cfg=cfg, datasets=args.datasets,
-                              nseeds=args.nseeds, out_prefix=args.out)
+                              nseeds=args.nseeds, out_prefix=args.out,
+                              batched=(False if args.serial_seeds
+                                       else None),
+                              batch_size=args.batch_size)
         for r in rows:
             line = (f"{r['dataset']:12s} {r['propagation']:5s} "
                     f"{r['mean_accuracy_pct']:.2f} ± {r['ci95_pct']:.2f} %")
@@ -147,6 +150,7 @@ def cmd_reproduce(args) -> int:
         cfg.dataset = dataset
         res = run_seed_sweep(cfg, batched=(False if args.serial_seeds
                                            else None),
+                             batch_size=args.batch_size,
                              seeds=seeds, out_path=args.out and
                              f"{args.out}_{dataset}.json")
         rows.append((dataset, res["mean_accuracy"], res["ci95_accuracy"]))
@@ -405,6 +409,11 @@ def main(argv=None) -> int:
                    help="train seeds one at a time (default: batch all "
                         "seeds into one lane-stacked run where the "
                         "backend supports it — ppnp_tpu.multiseed)")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="sub-batch batched sweeps to at most this many "
+                        "seeds per train_models call (caps grouped-"
+                        "kernel lane count at large G; see "
+                        "reproduce.run_seed_sweep)")
     p.add_argument("--out", default=None, help="result JSON path prefix")
     p.add_argument("--all", action="store_true",
                    help="full paper-style table (exact+power × datasets) "

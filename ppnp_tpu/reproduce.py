@@ -24,7 +24,7 @@ from ppnp_tpu.train import train_model
 logger = logging.getLogger(__name__)
 
 __all__ = ["run_seed_sweep", "run_full_table", "bootstrap_ci",
-           "PAPER_TARGETS"]
+           "PAPER_TARGETS", "SAFE_SEED_BATCH"]
 
 # Paper-published accuracy (mean %, ±95% CI) per (dataset, propagation)
 # — PPNP paper main results table (arXiv:1810.05997; BASELINE.md
@@ -53,6 +53,21 @@ def _exact_feasible() -> tuple:
     import jax
     return (EXACT_FEASIBLE if jax.default_backend() == "cpu"
             else EXACT_FEASIBLE_ACCEL)
+
+# Largest seed-batch measured safe on the axon TPU platform at paper
+# scale. G=5 and G=6 run clean at MS Academic (and every smaller
+# graph); G=8 and G=10 deterministically fault the TPU worker in the
+# FIRST combined epoch chunk (2026-08-21 bisect; G=8 faults with BOTH
+# sparse and dense X, so the grouped fc1 is not the trigger; every
+# component — grouped kernel, VJP, fc1 — passes in isolation at G=10
+# on the same hardware, and G=5/G=8 pad to the SAME 128-lane tile, so
+# this is a platform-level fault of the combined chunk program, not a
+# lane-tile or VMEM-guard miss: measurements.jsonl
+# "grouped_paper_scale_crash"). Batched sweeps therefore default to
+# sub-batches of this size (5 also divides the 10-seed protocol
+# evenly); each sub-batch still amortizes its propagation across its
+# seeds.
+SAFE_SEED_BATCH = 5
 
 # A fixed seed list, in the spirit of the reference's fixed seed arrays.
 DEFAULT_SEEDS = [
@@ -102,6 +117,10 @@ def run_seed_sweep(cfg: RunConfig,
     this many seeds (one ``train_models`` call each). Caps the grouped
     kernels' lane count and per-chunk resource footprint at large G —
     each sub-batch still amortizes its propagation across its seeds.
+    Default (None): ``SAFE_SEED_BATCH`` on an accelerator (the largest
+    batch measured clean at paper scale — see that constant's note),
+    unbounded on CPU (where the fault does not exist and tests rely on
+    single-batch grouping).
     """
     seeds = list(seeds if seeds is not None else DEFAULT_SEEDS)
     graph = load_graph(cfg)
@@ -127,6 +146,10 @@ def run_seed_sweep(cfg: RunConfig,
     if batched:
         from ppnp_tpu.multiseed import train_models
         kw = {k: v for k, v in kwargs.items() if k != "seed"}
+        if batch_size is None:
+            import jax
+            batch_size = (len(seeds) if jax.default_backend() == "cpu"
+                          else SAFE_SEED_BATCH)
         step = int(batch_size) if batch_size else len(seeds)
         for lo in range(0, len(seeds), step):
             sub = seeds[lo:lo + step]
@@ -170,7 +193,9 @@ def run_seed_sweep(cfg: RunConfig,
 def run_full_table(base_cfg: Optional[RunConfig] = None,
                    datasets: Optional[Sequence[str]] = None,
                    nseeds: int = 10,
-                   out_prefix: Optional[str] = None) -> List[Dict]:
+                   out_prefix: Optional[str] = None,
+                   batched: Optional[bool] = None,
+                   batch_size: Optional[int] = None) -> List[Dict]:
     """The full paper-style table: exact + power × datasets.
 
     Reference analog: ``reproduce_results_pytorch.ipynb`` run end to end
@@ -197,8 +222,10 @@ def run_full_table(base_cfg: Optional[RunConfig] = None,
                                       alpha=base_cfg.alpha)
             out = (f"{out_prefix}_{dataset}_{propagation}.json"
                    if out_prefix else None)
-            res = run_seed_sweep(cfg, seeds=DEFAULT_SEEDS[:nseeds],
-                                 out_path=out)
+            res = run_seed_sweep(
+                cfg, seeds=DEFAULT_SEEDS[:nseeds], out_path=out,
+                batched=(batched if _batchable(cfg) else None),
+                batch_size=batch_size)
             real = load_npz_dataset(dataset) is not None
             row = {
                 "dataset": dataset,

@@ -139,3 +139,68 @@ def test_batched_sub_batches_match_single(small_graph):
         assert rf["valtest"]["accuracy"] == rh["valtest"]["accuracy"]
         for a, b in zip(pf, ph):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_safe_seed_batch_default(monkeypatch):
+    """run_seed_sweep(batch_size=None) sub-batches at SAFE_SEED_BATCH on
+    accelerators (the measured paper-scale fault boundary: G=5 clean,
+    G>=8 faults the TPU worker — reproduce.SAFE_SEED_BATCH note) and
+    stays single-batch on CPU, where tests rely on full grouping."""
+    import jax
+
+    from ppnp_tpu import reproduce as rp
+
+    calls = []
+
+    def fake_train_models(graph, prop, seeds, **kw):
+        calls.append(list(seeds))
+        return [(None, {"valtest": {"accuracy": 0.5, "f1_score": 0.5}})
+                for _ in seeds]
+
+    monkeypatch.setattr("ppnp_tpu.multiseed.train_models",
+                        fake_train_models)
+    monkeypatch.setattr(rp, "load_graph", lambda cfg: None)
+    monkeypatch.setattr(rp, "build_propagator", lambda cfg, g: None)
+    monkeypatch.setattr(rp, "train_kwargs",
+                        lambda cfg: {"hidden_units": (16,)})
+    monkeypatch.setattr("ppnp_tpu.train.prepare_attr_input",
+                        lambda *a, **k: None)
+    from ppnp_tpu.config import RunConfig
+    cfg = RunConfig(dataset="cora_ml", backend="xla", test=True)
+
+    rp.run_seed_sweep(cfg, seeds=list(range(10)), batched=True)
+    assert [len(c) for c in calls] == [10]      # CPU: one full batch
+
+    calls.clear()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    rp.run_seed_sweep(cfg, seeds=list(range(10)), batched=True)
+    assert [len(c) for c in calls] == [rp.SAFE_SEED_BATCH,
+                                       10 - rp.SAFE_SEED_BATCH]
+
+    calls.clear()                               # explicit size wins
+    rp.run_seed_sweep(cfg, seeds=list(range(10)), batched=True,
+                      batch_size=3)
+    assert [len(c) for c in calls] == [3, 3, 3, 1]
+
+
+def test_full_table_batch_size_passthrough(monkeypatch):
+    """run_full_table forwards batched/batch_size to every power row."""
+    from ppnp_tpu import reproduce as rp
+
+    seen = []
+
+    def fake_sweep(cfg, seeds=None, out_path=None, batched=None,
+                   batch_size=None):
+        seen.append((cfg.dataset, cfg.propagation, batched, batch_size))
+        return {"mean_accuracy": 0.5, "ci95_accuracy": 0.01,
+                "accuracies": [0.5], "f1_scores": [0.5]}
+
+    monkeypatch.setattr(rp, "run_seed_sweep", fake_sweep)
+    monkeypatch.setattr("ppnp_tpu.data.io.load_npz_dataset",
+                        lambda name: None)
+    rows = rp.run_full_table(datasets=["cora_ml"], nseeds=2,
+                             batch_size=4)
+    assert ("cora_ml", "power", None, 4) in seen
+    # exact rows sweep serially — batched forced to auto/None there too
+    assert all(b is None for (_, _, b, _) in seen)
+    assert len(rows) == len(seen)
