@@ -50,6 +50,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--exchange", default="alltoall",
                    choices=["alltoall", "allgather"])
     p.add_argument("--n-shards", type=int, default=None)
+    p.add_argument("--n-slices", type=int, default=None,
+                   help="sharded: DCN slice count; >1 partitions the "
+                        "shards over a (n_slices × n_shards/n_slices) "
+                        "hierarchical mesh — boundary rows exchange "
+                        "intra-slice over ICI and once per remote "
+                        "slice (deduplicated) over DCN")
     p.add_argument("--shard-reorder", default="rcm",
                    choices=["rcm", "none"],
                    help="relabel nodes before row-partitioning so shard "
@@ -77,6 +83,7 @@ def _cfg_from_args(args) -> RunConfig:
         backend=args.backend, layout=getattr(args, "layout", "banded"),
         exchange=args.exchange,
         n_shards=args.n_shards, print_interval=args.print_interval,
+        n_slices=getattr(args, "n_slices", None),
         rows_per_block=getattr(args, 'rows_per_block', 16384),
         shard_reorder=getattr(args, 'shard_reorder', 'rcm'),
         metrics_path=getattr(args, "metrics_out", None),

@@ -124,6 +124,36 @@ def build_propagator(cfg: RunConfig, graph: SparseGraph):
                                                  build_sharded_pair_chunks)
         from ppnp_tpu.parallel.sharded import ShardedPowerIteration
         n_shards = cfg.n_shards or jax.device_count()
+        if (cfg.n_slices or 1) > 1:
+            # Hierarchical 2-axis (dcn, ici) mesh: boundary rows
+            # exchange intra-slice over ICI and once per remote slice
+            # (deduplicated) over DCN (parallel/hier.py; the SURVEY §5
+            # "ICI intra-slice / DCN across slices" comm design).
+            from ppnp_tpu.parallel.hier import (HierShardedPowerIteration,
+                                                build_hier_pair_chunks,
+                                                build_hier_sharded_graph)
+            from ppnp_tpu.parallel.mesh import make_hier_mesh
+            D = int(cfg.n_slices)
+            if n_shards % D:
+                raise ValueError(
+                    f"n_shards={n_shards} not divisible by "
+                    f"n_slices={D}")
+            I = n_shards // D
+            hmesh = make_hier_mesh(D, I)
+            hg = build_hier_sharded_graph(a_hat, D, I)
+            logger.info(
+                "hier-sharded %dx%d: S=%d b_ici=%d b_dcn=%d E=%d",
+                D, I, hg.shard_rows, hg.b_ici, hg.b_dcn, hg.edges_pad)
+            hpc = hpc_t = hperm = None
+            if cfg.backend == "pallas":
+                layout, geo, _ = _resolve_layout(cfg, a_hat, reorder=None)
+                hpc, hpc_t, hperm = build_hier_pair_chunks(
+                    hg, layout=layout, **geo)
+            return HierShardedPowerIteration(
+                graph=hg, mesh=hmesh, pair_chunks=hpc,
+                pair_chunks_t=hpc_t, w_perm=hperm, alpha=alpha,
+                niter=cfg.niter, drop_prob=cfg.drop_prob,
+                backend=cfg.backend)
         mesh = make_mesh(n_devices=n_shards)
         sg = build_sharded_graph(a_hat, n_shards=n_shards)
         logger.info("sharded over %d devices: S=%d B=%d E=%d",

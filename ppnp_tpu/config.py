@@ -43,6 +43,10 @@ class RunConfig:
     layout: str = "banded"       # pallas packing: banded | aligned | auto
     exchange: str = "alltoall"   # sharded: alltoall | allgather
     n_shards: Optional[int] = None  # sharded: None → all devices
+    n_slices: Optional[int] = None  # sharded: DCN slice count; >1 builds
+    #                              the 2-axis (dcn, ici) hierarchical
+    #                              mesh with the two-level boundary
+    #                              exchange (parallel/hier.py)
     rows_per_block: int = 16384  # blocked: rows per HBM-streamed block
     shard_reorder: str = "rcm"   # sharded: relabel before partitioning
     #                              ("rcm" | "none") — shrinks boundaries
