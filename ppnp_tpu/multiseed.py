@@ -291,6 +291,19 @@ def train_models(
     """
     t_start = time.time()
     groups = len(seeds)
+    if (groups > 6 and graph.adj_matrix.shape[0] >= 16_000
+            and jax.default_backend() not in ("cpu",)):
+        # Measured axon-platform fault boundary (2026-08-21 bisect,
+        # reproduce.SAFE_SEED_BATCH): the combined epoch chunk crashes
+        # the TPU worker above G=6 at paper scale. run_seed_sweep
+        # sub-batches automatically; direct callers get a warning, not
+        # an error — the boundary is platform-specific.
+        logger.warning(
+            "G=%d seed groups at n=%d: batched chunks above G=6 have "
+            "crashed the axon TPU worker at this scale — prefer "
+            "sub-batches of reproduce.SAFE_SEED_BATCH (see "
+            "docs/PERFORMANCE.md 'Seed-batched sweeps at paper scale')",
+            groups, graph.adj_matrix.shape[0])
     idx_split_args = dict(idx_split_args or default_idx_split_args)
     stop_args = dict(default_stopping_args)
     stop_args.update(stopping_args or {})
